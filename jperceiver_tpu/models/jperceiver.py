@@ -1,0 +1,161 @@
+"""JPerceiver flagship model: joint depth + pose + dual BEV layout.
+
+TPU-native re-design of the reference `Baseline` network (`net.py:32-82`):
+
+* One forward pass computes depth pyramid, both layout branches and the two
+  frame-pair poses; everything is traced once under `jit`.
+* The reference calls `predict_layout` twice and throws one result away
+  (`net.py:73-74`) — here the layout encoder runs exactly once and its
+  features feed both branches (same computation the reference *intended*).
+* Loss computation lives in `losses/multitask.py` as a pure function so the
+  whole train step (forward + CGT + losses + grad + optimizer) is one XLA
+  program.
+
+Batch schema (NHWC, frames stacked on axis 1 in `frame_ids` order):
+  color / color_aug : (B, F, H, W, 3)
+  K, inv_K          : (B, 4, 4)    input-resolution intrinsics
+  odometry_K        : (B, 4, 4)    calibration intrinsics (CGT)
+  Tr_cam2_velo      : (B, 4, 4)
+  bev_static        : (B, S, S)    road GT   (bothS)
+  bev_dynamic       : (B, S, S)    vehicle GT (bothD)
+  bev_both          : (B, S, S)    road-minus-vehicle GT (both_dynamic)
+  bev_static_sdf / bev_dynamic_sdf : (B, S, S, C-1) precomputed SDFs
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import transformation_from_parameters
+from ..ops.sampling import resize_bilinear
+from .depth_net import DepthDecoder, DepthEncoder
+from .layout_net import (
+    CrossViewTransformer,
+    CycledViewProjection,
+    LayoutDecoder,
+    LayoutEncoder,
+)
+from .pose_net import PoseDecoder, PoseEncoder
+from .registry import register
+
+POSE_INPUT_HW = (192, 640)  # `net.py:632` resizes pose inputs to this.
+
+
+@register
+class JPerceiver(nn.Module):
+    depth_layers: int = 18
+    pose_layers: int = 18
+    frame_ids: Sequence[int] = (0, -1, 1)
+    height: int = 1024
+    width: int = 1024
+    occ_map_size: int = 256
+    num_class: int = 2
+    scales: Sequence[int] = (0, 1, 2, 3)
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(
+            depth_layers=cfg.get("depth_num_layers", 18),
+            pose_layers=cfg.get("pose_num_layers", 18),
+            frame_ids=tuple(cfg.get("frame_ids", (0, -1, 1))),
+            height=cfg.get("height", 1024),
+            width=cfg.get("width", 1024),
+            occ_map_size=cfg.get("occ_map_size", 256),
+            num_class=cfg.get("num_class", 2),
+            scales=tuple(cfg.get("scales", (0, 1, 2, 3))),
+            min_depth=cfg.get("min_depth", 0.1),
+            max_depth=cfg.get("max_depth", 100.0),
+        )
+
+    def setup(self):
+        self.depth_encoder = DepthEncoder(self.depth_layers, self.dtype)
+        self.depth_decoder = DepthDecoder(dtype=self.dtype)
+        self.pose_encoder = PoseEncoder(self.pose_layers, 2, self.dtype)
+        self.pose_decoder = PoseDecoder(self.dtype)
+        self.layout_encoder = LayoutEncoder(self.depth_layers, self.dtype)
+        cvp_dim = self.occ_map_size // 32
+        self.cvp = CycledViewProjection(cvp_dim, self.dtype)
+        self.cct = CrossViewTransformer(128, self.dtype)
+        self.layout_decoder = LayoutDecoder(self.num_class, self.dtype)
+        self.layout_transform_decoder = LayoutDecoder(self.num_class, self.dtype)
+        self.cvp_b = CycledViewProjection(cvp_dim, self.dtype)
+        self.cct_b = CrossViewTransformer(128, self.dtype)
+        self.layout_decoder_b = LayoutDecoder(self.num_class, self.dtype)
+        self.layout_transform_decoder_b = LayoutDecoder(self.num_class, self.dtype)
+
+    # -- sub-forwards ------------------------------------------------------
+
+    def _layout_branch(self, enc_feat, depth_feat, cvp, cct, dec, tdec, train):
+        transform, retransform = cvp(enc_feat)
+        fused, score, attn = cct(enc_feat, transform, retransform, depth_feat)
+        return {
+            "topview": dec(fused, train),
+            "transform_topview": tdec(transform, train),
+            "features": fused,
+            "retransform_features": retransform,
+            "cv_attn": score,
+            "cm_attn": attn,
+        }
+
+    def predict_poses(self, color_aug, train: bool = False):
+        """color_aug: (B, F, H, W, 3) -> {("cam_T_cam", 0, f): (B, 4, 4)}.
+
+        Parity with `net.py:630-642`: frames resized to 192x640, pair order
+        (f, 0) for past / (0, f) for future, past transforms inverted.
+        """
+        ph, pw = POSE_INPUT_HW
+        feats = {
+            f: resize_bilinear(color_aug[:, i], ph, pw)
+            for i, f in enumerate(self.frame_ids)
+        }
+        out = {}
+        for f in self.frame_ids[1:]:
+            pair = [feats[f], feats[0]] if f < 0 else [feats[0], feats[f]]
+            enc = self.pose_encoder(jnp.concatenate(pair, axis=-1), train)
+            axisangle, translation = self.pose_decoder(enc)
+            out[f"cam_T_cam/{f}"] = transformation_from_parameters(
+                axisangle, translation, invert=(f < 0)
+            )
+        return out
+
+    def pose_between(self, img_a, img_b):
+        """Standalone 2-frame pose head for odometry/video inference."""
+        ph, pw = POSE_INPUT_HW
+        pair = jnp.concatenate(
+            [resize_bilinear(img_a, ph, pw), resize_bilinear(img_b, ph, pw)], axis=-1
+        )
+        enc = self.pose_encoder(pair, False)
+        axisangle, translation = self.pose_decoder(enc)
+        return transformation_from_parameters(axisangle, translation, invert=False)
+
+    # -- main forward ------------------------------------------------------
+
+    def __call__(self, batch, train: bool = False, with_pose: bool | None = None):
+        color_aug0 = batch["color_aug"][:, 0]
+        depth_feats = self.depth_encoder(color_aug0, train)
+        outputs = dict(self.depth_decoder(depth_feats, train))
+
+        enc_feat = self.layout_encoder(color_aug0, train)
+        road = self._layout_branch(
+            enc_feat, depth_feats[-1], self.cvp, self.cct,
+            self.layout_decoder, self.layout_transform_decoder, train,
+        )
+        outputs.update(road)
+        vehicle = self._layout_branch(
+            enc_feat, depth_feats[-1], self.cvp_b, self.cct_b,
+            self.layout_decoder_b, self.layout_transform_decoder_b, train,
+        )
+        outputs.update({f"{k}B": v for k, v in vehicle.items()})
+
+        if with_pose is None:
+            with_pose = train
+        if with_pose:
+            outputs.update(self.predict_poses(batch["color_aug"], train))
+        return outputs

@@ -1,0 +1,40 @@
+"""SSIM dissimilarity with 3x3 mean pooling and reflection padding.
+
+Parity with the reference SSIM block (`layers.py:85-107`): returns
+clamp((1 - SSIM)/2, 0, 1) per pixel/channel. The five average pools collapse
+into windowed sums over reflection-padded inputs, which XLA turns into a
+single fused reduce-window stack.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_C1 = 0.01 ** 2
+_C2 = 0.03 ** 2
+
+
+def _avg_pool3(x: jax.Array) -> jax.Array:
+    """3x3/stride-1 mean over NHWC, VALID (caller pads)."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
+    )
+    return s / 9.0
+
+
+def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
+    """(B,H,W,C) pair -> per-pixel SSIM dissimilarity in [0, 1]."""
+    pad = ((0, 0), (1, 1), (1, 1), (0, 0))
+    xp = jnp.pad(x, pad, mode="reflect")
+    yp = jnp.pad(y, pad, mode="reflect")
+
+    mu_x = _avg_pool3(xp)
+    mu_y = _avg_pool3(yp)
+    sigma_x = _avg_pool3(xp * xp) - mu_x * mu_x
+    sigma_y = _avg_pool3(yp * yp) - mu_y * mu_y
+    sigma_xy = _avg_pool3(xp * yp) - mu_x * mu_y
+
+    num = (2 * mu_x * mu_y + _C1) * (2 * sigma_xy + _C2)
+    den = (mu_x * mu_x + mu_y * mu_y + _C1) * (sigma_x + sigma_y + _C2)
+    return jnp.clip((1.0 - num / den) * 0.5, 0.0, 1.0)

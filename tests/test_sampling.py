@@ -1,0 +1,97 @@
+"""Golden tests: grid_sample / warp_perspective / resizes vs torch + cv2."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from jperceiver_tpu.ops import (
+    grid_sample,
+    warp_perspective,
+    resize_area,
+    resize_bilinear,
+    upsample2x_nearest,
+)
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def _to_nhwc(t):
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+@pytest.mark.parametrize("align", [True, False])
+def test_grid_sample_matches_torch(rng, padding, align):
+    img = rng.standard_normal((2, 13, 17, 3)).astype(np.float32)
+    grid = (rng.uniform(-1.3, 1.3, size=(2, 9, 11, 2))).astype(np.float32)
+
+    ours = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                  padding_mode=padding, align_corners=align))
+    ref = F.grid_sample(_nchw(img), torch.from_numpy(grid),
+                        mode="bilinear", padding_mode=padding,
+                        align_corners=align)
+    np.testing.assert_allclose(ours, _to_nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_identity(rng):
+    img = rng.standard_normal((1, 8, 8, 2)).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    gx = xs / 7.0 * 2 - 1
+    gy = ys / 7.0 * 2 - 1
+    grid = np.stack([gx, gy], -1)[None].astype(np.float32)
+    out = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_warp_perspective_identity(rng):
+    img = rng.standard_normal((2, 12, 16, 1)).astype(np.float32)
+    M = np.broadcast_to(np.eye(3, dtype=np.float32), (2, 3, 3))
+    out = np.asarray(warp_perspective(jnp.asarray(img), jnp.asarray(M), (12, 16)))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_warp_perspective_matches_cv2(rng):
+    import cv2
+
+    img = rng.uniform(0, 1, size=(20, 24)).astype(np.float32)
+    # A mild projective transform.
+    H = np.array(
+        [[1.1, 0.05, 2.0], [-0.03, 0.95, 1.0], [1e-4, -5e-5, 1.0]],
+        dtype=np.float32,
+    )
+    ref = cv2.warpPerspective(img, H, (24, 20), flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    ours = np.asarray(
+        warp_perspective(jnp.asarray(img)[None, :, :, None], jnp.asarray(H)[None],
+                         (20, 24))
+    )[0, :, :, 0]
+    # cv2 uses fixed-point bilinear; compare loosely away from the border.
+    inner = (slice(2, -2), slice(2, -2))
+    np.testing.assert_allclose(ours[inner], ref[inner], atol=2e-2)
+
+
+def test_resize_area_matches_torch(rng):
+    img = rng.standard_normal((2, 16, 32, 3)).astype(np.float32)
+    ours = np.asarray(resize_area(jnp.asarray(img), 4, 8))
+    ref = F.interpolate(_nchw(img), size=(4, 8), mode="area")
+    np.testing.assert_allclose(ours, _to_nhwc(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_resize_bilinear_matches_torch(rng):
+    img = rng.standard_normal((2, 10, 14, 3)).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(img), 19, 29))
+    ref = F.interpolate(_nchw(img), size=(19, 29), mode="bilinear",
+                        align_corners=False)
+    np.testing.assert_allclose(ours, _to_nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_upsample2x_nearest_matches_torch(rng):
+    img = rng.standard_normal((2, 5, 7, 4)).astype(np.float32)
+    ours = np.asarray(upsample2x_nearest(jnp.asarray(img)))
+    ref = F.interpolate(_nchw(img), scale_factor=2, mode="nearest")
+    np.testing.assert_allclose(ours, _to_nhwc(ref), atol=0)
