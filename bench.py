@@ -1,0 +1,85 @@
+"""Benchmark: joint depth+pose+BEV training throughput on one TPU chip.
+
+Measures steady-state frames/sec/chip of the FULL jitted train step
+(forward + CGT + all losses + backward + Adam) at the reference's flagship
+configuration: 1024x1024 input, occ_map 256, batch 3/chip, IoU+CE+boundary
+layout losses (`config/cfg_kitti_baseline_odometry_boundary_ce_iou_1024_20.py`).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+
+vs_baseline is measured against an estimated PyTorch A100 per-GPU training
+throughput for this model/config (BASELINE_FPS). The reference repo
+publishes no throughput number (SURVEY §6); 12 f/s/GPU is a generous
+estimate for a 52M-param multi-task CNN at 1024^2 with eager CPU loss hops.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_FPS = 12.0  # estimated PyTorch per-A100 frames/s at this config
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from jperceiver_tpu.config import Config
+    from jperceiver_tpu.data import synthetic_batch
+    from jperceiver_tpu.engine import build_optimizer, create_train_state, make_train_step
+    from jperceiver_tpu.models import JPerceiver
+
+    quick = "--quick" in sys.argv
+    h = w = 256 if quick else 1024
+    occ = h // 4
+    batch_size = 2 if quick else 3
+
+    cfg = Config.fromdict(
+        dict(
+            type="static", split="odometry", frame_ids=[0, -1, 1],
+            scales=[0, 1, 2, 3], height=h, width=w, occ_map_size=occ,
+            num_class=2, min_depth=0.1, max_depth=100.0, automask=True,
+            disp_norm=True, smoothness_weight=1e-3, scale_weight=0.1,
+            static_weight=5.0, dynamic_weight=15.0, loss_type="iou",
+            loss_sum=3, loss_weight=20, loss2_weight=20, loss_weightS=20,
+            loss2_weightS=20, cgt_label_hw=(375, 1242),
+            optimizer=dict(type="Adam", lr=1e-4, weight_decay=0),
+            optimizer_config=dict(grad_clip=dict(max_norm=35, norm_type=2)),
+            lr_config=dict(policy="step", warmup=None, step=[50]),
+        )
+    )
+    model = JPerceiver(height=h, width=w, occ_map_size=occ)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(batch_size, h, w, occ).items()}
+    tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
+    state = create_train_state(model, tx, batch, jax.random.key(0))
+    step = make_train_step(model, cfg)
+
+    rng = jax.random.key(1)
+    state, metrics = step(state, batch, rng)  # compile
+    jax.block_until_ready(metrics["loss"])
+
+    n_iters = 5 if quick else 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+    fps = batch_size / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"train_fps_per_chip_{h}x{w}_b{batch_size}",
+                "value": round(fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

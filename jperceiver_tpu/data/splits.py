@@ -1,0 +1,81 @@
+"""Split-file handling + dataset factory.
+
+Parity with `mono/datasets/get_dataset.py:9-42`: `cfg.data` selects the
+dataset class and the split file `<split_dir>/<split>/{train,val}_files.txt`.
+The reference ships its split lists inside the repo; here `split_dir` is
+configurable (point it at the reference's `mono/datasets/splits` or your
+own), and `scan_*` helpers can regenerate lists from a dataset tree.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+
+def readlines(path: str) -> list[str]:
+    with open(path) as f:
+        return [l.strip() for l in f if l.strip()]
+
+
+def split_file(split_dir: str, split: str, training: bool) -> str:
+    name = "train_files.txt" if training else "val_files.txt"
+    return os.path.join(split_dir, split, name)
+
+
+def scan_odometry_split(data_path: str, sequences: Sequence[str]) -> list[str]:
+    """Regenerate odometry split lines (`<seq>/road_dense128/<frame>.png`)."""
+    out = []
+    for seq in sequences:
+        d = os.path.join(data_path, seq, "road_dense128")
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".png"):
+                out.append(f"{seq}/road_dense128/{f}")
+    return out
+
+
+def scan_object_split(data_path: str) -> list[str]:
+    d = os.path.join(data_path, "training", "vehicle_256")
+    if not os.path.isdir(d):
+        return []
+    return [os.path.splitext(f)[0] for f in sorted(os.listdir(d)) if f.endswith(".png")]
+
+
+def get_dataset(data_cfg, training: bool = True, with_sdf: bool = False,
+                num_class: int = 2):
+    """cfg.data -> dataset instance (parity with `get_dataset.py:9-42`)."""
+    from .argoverse import Argoverse
+    from .kitti import KittiObject, KittiOdometry, KittiRaw
+
+    dtype = data_cfg.get("type", "static")
+    split_dir = data_cfg.get("split_dir")
+    if split_dir is None:
+        raise ValueError(
+            "data.split_dir must point at a splits directory "
+            "(e.g. the reference's mono/datasets/splits)"
+        )
+    filenames = readlines(split_file(split_dir, data_cfg["split"], training))
+
+    common = dict(
+        data_path=data_cfg["in_path"],
+        filenames=filenames,
+        height=data_cfg["height"],
+        width=data_cfg["width"],
+        frame_ids=tuple(data_cfg.get("frame_ids", (0, -1, 1))),
+        is_train=training,
+        with_sdf=with_sdf,
+        num_class=num_class,
+    )
+    if dtype == "static":
+        return KittiOdometry(
+            raw_calib_root=data_cfg.get("raw_calib_root"), **common
+        )
+    if dtype == "static_raw":
+        return KittiRaw(**common)
+    if dtype == "dynamic":
+        return KittiObject(**common)
+    if dtype.startswith("Argo"):
+        return Argoverse(type=dtype, **common)
+    raise ValueError(f"unknown data type {dtype}")

@@ -7,12 +7,21 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment selects the TPU plugin
+# (JAX_PLATFORMS=axon), but the suite needs 8 virtual devices and fp32
+# convolutions for golden parity. The site's sitecustomize.py imports jax
+# at interpreter start, so the env var is already consumed — update the
+# live jax config too (backends are not yet initialized at conftest time).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
