@@ -42,6 +42,14 @@ def generate_depth_map(calib_dir: str, velo_filename: str, cam: int = 2,
     h, w = int(im_shape[0]), int(im_shape[1])
 
     velo = load_velodyne_points(velo_filename)
+    if not vel_depth:
+        try:
+            from ..native import HAVE_NATIVE, velo_project
+
+            if HAVE_NATIVE:
+                return velo_project(velo, P, h, w)
+        except ImportError:
+            pass
     velo = velo[velo[:, 0] >= 0]
 
     pts = (P @ velo.T).T

@@ -88,12 +88,20 @@ class EvalHook:
         stereo = bool(self.cfg.get("stereo_scale", False))
         model_type = self.cfg.get("type", "static")
 
+        import time
+
+        fwd_time = 0.0
+        n_imgs = 0
         for bi, batch in enumerate(self.loader):
             if self.max_batches is not None and bi >= self.max_batches:
                 break
             gt_depth = batch.pop("gt_depth", None)
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            t0 = time.perf_counter()
             out = self.eval_step(state, jbatch)
+            jax.block_until_ready(out["disp/0"])
+            fwd_time += time.perf_counter() - t0
+            n_imgs += int(jbatch["color"].shape[0])
             disp = np.asarray(out["disp/0"])[..., 0]
 
             if self.with_depth and gt_depth is not None:
@@ -137,4 +145,7 @@ class EvalHook:
             tot = gathered[:, 0].sum(0)
             n = gathered[:, 1].sum(0)
             summary = {k: float(tot[i] / max(n[i], 1)) for i, k in enumerate(keys)}
+        if fwd_time > 0:
+            # Local FPS counter, parity with `eval_hooks.py:142-146,246`.
+            summary["fps"] = n_imgs / fwd_time
         return summary

@@ -90,6 +90,7 @@ class Trainer:
         checkpoint_fn: Callable | None = None,
         log_fn: Callable | None = None,
         log_interval: int = 50,
+        profile_dir: str | None = None,
     ):
         self.model = model
         self.cfg = cfg
@@ -100,6 +101,10 @@ class Trainer:
         self.checkpoint_fn = checkpoint_fn
         self.log_fn = log_fn or (lambda payload: None)
         self.log_interval = log_interval
+        # Tracing/profiling: the reference has none beyond ad-hoc tick
+        # counters (`eval_hooks.py:142-146`); here a jax.profiler trace of
+        # steps 10..14 of the first epoch lands in profile_dir when set.
+        self.profile_dir = profile_dir
         self.train_step = make_train_step(model, cfg)
         self._batch_sharding = data_sharding(self.mesh)
 
@@ -114,8 +119,13 @@ class Trainer:
             t_epoch = time.time()
             it = iter(self.train_loader)
             for i in range(self.steps_per_epoch):
+                if self.profile_dir and epoch == start_epoch and i == 10:
+                    jax.profiler.start_trace(self.profile_dir)
                 batch = self._shard(next(it))
                 state, metrics = self.train_step(state, batch, rng)
+                if self.profile_dir and epoch == start_epoch and i == 14:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
                 if (i + 1) % self.log_interval == 0:
                     payload = {
                         "mode": "train",

@@ -61,7 +61,11 @@ class JPerceiver(nn.Module):
 
     @classmethod
     def from_config(cls, cfg):
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            cfg.get("compute_dtype", "float32")
+        ]
         return cls(
+            dtype=dtype,
             depth_layers=cfg.get("depth_num_layers", 18),
             pose_layers=cfg.get("pose_num_layers", 18),
             frame_ids=tuple(cfg.get("frame_ids", (0, -1, 1))),
@@ -120,8 +124,12 @@ class JPerceiver(nn.Module):
             pair = [feats[f], feats[0]] if f < 0 else [feats[0], feats[f]]
             enc = self.pose_encoder(jnp.concatenate(pair, axis=-1), train)
             axisangle, translation = self.pose_decoder(enc)
+            # Pose math in fp32 even under bf16 compute: bf16 axis-angles
+            # quantize the warp enough to hurt the photometric loss.
             out[f"cam_T_cam/{f}"] = transformation_from_parameters(
-                axisangle, translation, invert=(f < 0)
+                axisangle.astype(jnp.float32),
+                translation.astype(jnp.float32),
+                invert=(f < 0),
             )
         return out
 
@@ -158,4 +166,9 @@ class JPerceiver(nn.Module):
             with_pose = train
         if with_pose:
             outputs.update(self.predict_poses(batch["color_aug"], train))
-        return outputs
+        # Output contract: float32 regardless of compute dtype — losses,
+        # metrics and geometry all run in full precision.
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x,
+            outputs,
+        )

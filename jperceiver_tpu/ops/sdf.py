@@ -53,12 +53,26 @@ def signed_distance_field(labels: np.ndarray, num_classes: int) -> np.ndarray:
         )
     h, w = labels.shape
     out = np.zeros((h, w, num_classes - 1), dtype=np.float32)
+    try:
+        from ..native import HAVE_NATIVE, _lib, _f32p
+    except ImportError:
+        HAVE_NATIVE = False
     for c in range(1, num_classes):
         pos = labels == c
         if not pos.any():
             continue
-        neg = ~pos
-        sdf = _edt(neg) - _edt(pos)
-        sdf[_inner_boundary(pos)] = 0.0
+        if HAVE_NATIVE:
+            import ctypes
+
+            mask = np.ascontiguousarray(pos.astype(np.uint8))
+            sdf = np.empty((h, w), np.float32)
+            _lib.jp_sdf(
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                _f32p(sdf), h, w,
+            )
+        else:
+            neg = ~pos
+            sdf = _edt(neg) - _edt(pos)
+            sdf[_inner_boundary(pos)] = 0.0
         out[..., c - 1] = sdf
     return out
