@@ -34,9 +34,10 @@ def create_train_state(model, tx, sample_batch, rng) -> TrainState:
     import jax.numpy as jnp
 
     params_rng, dropout_rng = jax.random.split(rng)
-    variables = model.init(
-        {"params": params_rng, "dropout": dropout_rng}, sample_batch, train=True
-    )
+    # jit the init: eager initialization dispatches hundreds of tiny ops
+    # (minutes over a remote-tunnel TPU); one compiled program is seconds.
+    init = jax.jit(lambda rngs, batch: model.init(rngs, batch, train=True))
+    variables = init({"params": params_rng, "dropout": dropout_rng}, sample_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

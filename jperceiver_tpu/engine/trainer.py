@@ -113,15 +113,42 @@ class Trainer:
             lambda x: jax.device_put(jnp.asarray(x), self._batch_sharding), batch
         )
 
+    def _prefetch(self, it, n_steps: int):
+        """Overlap host decode + H2D transfer with device compute.
+
+        One background thread keeps up to 2 already-device-put batches
+        ready; jax dispatch is async so the train step launches while the
+        next batch is being decoded/transferred (replaces the reference's
+        synchronous `.cuda()` hop in `batch_processor`, `trainer.py:20-27`).
+        """
+        import queue as _q
+        import threading
+
+        out: _q.Queue = _q.Queue(maxsize=2)
+
+        def producer():
+            for _ in range(n_steps):
+                try:
+                    out.put(self._shard(next(it)))
+                except StopIteration:
+                    break
+            out.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = out.get()
+            if item is None:
+                return
+            yield item
+
     def fit(self, state, total_epochs: int, rng=None, start_epoch: int = 0):
         rng = rng if rng is not None else jax.random.key(0)
         for epoch in range(start_epoch, total_epochs):
             t_epoch = time.time()
-            it = iter(self.train_loader)
-            for i in range(self.steps_per_epoch):
+            batches = self._prefetch(iter(self.train_loader), self.steps_per_epoch)
+            for i, batch in enumerate(batches):
                 if self.profile_dir and epoch == start_epoch and i == 10:
                     jax.profiler.start_trace(self.profile_dir)
-                batch = self._shard(next(it))
                 state, metrics = self.train_step(state, batch, rng)
                 if self.profile_dir and epoch == start_epoch and i == 14:
                     jax.block_until_ready(metrics["loss"])

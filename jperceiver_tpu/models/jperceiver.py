@@ -58,6 +58,10 @@ class JPerceiver(nn.Module):
     min_depth: float = 0.1
     max_depth: float = 100.0
     dtype: Any = jnp.float32
+    # Gradient checkpointing: recompute encoder/decoder activations in the
+    # backward pass instead of keeping them in HBM. Essential at 1024^2 on
+    # 16 GB chips (a single decoder activation there is ~0.8 GB).
+    remat: bool = False
 
     @classmethod
     def from_config(cls, cfg):
@@ -76,23 +80,36 @@ class JPerceiver(nn.Module):
             scales=tuple(cfg.get("scales", (0, 1, 2, 3))),
             min_depth=cfg.get("min_depth", 0.1),
             max_depth=cfg.get("max_depth", 100.0),
+            remat=bool(cfg.get("remat", False)),
         )
 
     def setup(self):
-        self.depth_encoder = DepthEncoder(self.depth_layers, self.dtype)
-        self.depth_decoder = DepthDecoder(dtype=self.dtype)
-        self.pose_encoder = PoseEncoder(self.pose_layers, 2, self.dtype)
+        if self.remat:
+            depth_enc_cls = nn.remat(DepthEncoder, static_argnums=(2,))
+            depth_dec_cls = nn.remat(DepthDecoder, static_argnums=(2,))
+            pose_enc_cls = nn.remat(PoseEncoder, static_argnums=(2,))
+            layout_enc_cls = nn.remat(LayoutEncoder, static_argnums=(2,))
+            layout_dec_cls = nn.remat(LayoutDecoder, static_argnums=(2,))
+        else:
+            depth_enc_cls, depth_dec_cls = DepthEncoder, DepthDecoder
+            pose_enc_cls = PoseEncoder
+            layout_enc_cls, layout_dec_cls = LayoutEncoder, LayoutDecoder
+        self._layout_dec_cls = layout_dec_cls
+        self.depth_encoder = depth_enc_cls(self.depth_layers, self.dtype)
+        self.depth_decoder = depth_dec_cls(dtype=self.dtype)
+        self.pose_encoder = pose_enc_cls(self.pose_layers, 2, self.dtype)
         self.pose_decoder = PoseDecoder(self.dtype)
-        self.layout_encoder = LayoutEncoder(self.depth_layers, self.dtype)
+        self.layout_encoder = layout_enc_cls(self.depth_layers, self.dtype)
         cvp_dim = self.occ_map_size // 32
         self.cvp = CycledViewProjection(cvp_dim, self.dtype)
         self.cct = CrossViewTransformer(128, self.dtype)
-        self.layout_decoder = LayoutDecoder(self.num_class, self.dtype)
-        self.layout_transform_decoder = LayoutDecoder(self.num_class, self.dtype)
+        layout_dec_cls = self._layout_dec_cls
+        self.layout_decoder = layout_dec_cls(self.num_class, self.dtype)
+        self.layout_transform_decoder = layout_dec_cls(self.num_class, self.dtype)
         self.cvp_b = CycledViewProjection(cvp_dim, self.dtype)
         self.cct_b = CrossViewTransformer(128, self.dtype)
-        self.layout_decoder_b = LayoutDecoder(self.num_class, self.dtype)
-        self.layout_transform_decoder_b = LayoutDecoder(self.num_class, self.dtype)
+        self.layout_decoder_b = layout_dec_cls(self.num_class, self.dtype)
+        self.layout_transform_decoder_b = layout_dec_cls(self.num_class, self.dtype)
 
     # -- sub-forwards ------------------------------------------------------
 
