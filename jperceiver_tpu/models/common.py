@@ -51,9 +51,13 @@ class CRPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.pallas.maxpool import max_pool_5x5_s1
+
         top = x
         for i in range(self.n_stages):
-            top = nn.max_pool(top, (5, 5), (1, 1), padding=((2, 2), (2, 2)))
+            # Custom-bwd pool: XLA's select-and-scatter backward is ~20x
+            # slower on TPU (see ops/pallas/maxpool.py).
+            top = max_pool_5x5_s1(top)
             top = nn.Conv(self.features, (1, 1), use_bias=False,
                           dtype=self.dtype, name=f"pointwise{i + 1}")(top)
             x = top + x
