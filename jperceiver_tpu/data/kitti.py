@@ -116,8 +116,19 @@ class KittiBase:
     def gt_depth(self, line: str, flip: bool) -> np.ndarray | None:
         return None
 
+    def stereo_image_path(self, line: str) -> str:
+        raise NotImplementedError(
+            f"{type(self).__name__} has no stereo pair"
+        )
+
     # -- assembly ------------------------------------------------------------
-    def _load_frame(self, line: str, offset: int, flip: bool):
+    def _load_frame(self, line: str, offset, flip: bool):
+        if offset == "s":
+            img = pil_open_rgb(self.stereo_image_path(line))
+            if flip:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            lbl = pil_open_rgb(self.label_path(line, 0)).convert("L")
+            return img, lbl
         img = pil_open_rgb(self.image_path(line, offset))
         if flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
@@ -191,6 +202,13 @@ class KittiBase:
             "bev_dynamic": dynamic,
             "bev_both": static,
         }
+        if "s" in self.frame_ids:
+            # monodepth2 stereo convention: fixed 0.1-baseline translation;
+            # sign follows the viewed side and flips under do_flip.
+            stereo_T = np.eye(4, dtype=np.float32)
+            sign = -1.0 if not do_flip else 1.0
+            stereo_T[0, 3] = sign * 0.1
+            sample["stereo_T"] = stereo_T
         if self.with_sdf:
             sample["bev_static_sdf"] = signed_distance_field(
                 static.astype(np.int32), self.num_class
@@ -278,6 +296,13 @@ class KittiRaw(KittiBase):
         return os.path.join(
             self.data_path, drive_dir, "road_256/road_256",
             f"{frame + offset:010d}.png",
+        )
+
+    def stereo_image_path(self, line):
+        drive_dir, frame = self._parse(line)
+        return os.path.join(
+            self.data_path, drive_dir, "image_03/data",
+            f"{frame:010d}{self.img_ext}",
         )
 
     def calib(self, line):

@@ -65,8 +65,12 @@ class DataLoader:
             usable = (n // global_batch) * global_batch
             idx = idx[:usable]
         else:
+            # Pad to a multiple of the global batch with wrap-around
+            # repeats (`sampler.py:31-36` semantics); np.resize wraps, so
+            # this is correct even when the pad exceeds the dataset size.
             pad = (-n) % global_batch
-            idx = np.concatenate([idx, idx[:pad]])
+            if pad:
+                idx = np.resize(idx, n + pad)
         # Rank-strided shard (`sampler.py:37-39`).
         return idx[self.process_index :: self.process_count]
 

@@ -51,7 +51,8 @@ def apply_color_jitter(img: Image.Image, b: float, c: float, s: float,
             img = ImageEnhance.Color(img).enhance(s)
         elif op == 3 and abs(h) > 1e-8:
             hsv = np.asarray(img.convert("HSV"), np.uint8).copy()
-            shift = np.uint8(int(h * 255)) if h >= 0 else np.uint8(256 + int(h * 255))
+            # modulo keeps tiny negative h from producing uint8(256)
+            shift = np.uint8(int(h * 255) % 256)
             hsv[..., 0] = hsv[..., 0] + shift  # uint8 wraparound
             img = Image.fromarray(hsv, "HSV").convert("RGB")
     return img

@@ -54,7 +54,8 @@ def _warped_frames(outputs, batch, scale, frame_ids, height, width,
     cam_points = backproject(depth, batch["inv_K"])
     preds = {}
     for i, f in enumerate(frame_ids[1:], start=1):
-        T = outputs[f"cam_T_cam/{f}"]
+        # Stereo frame uses the fixed rig baseline (`net.py:695-698`).
+        T = batch["stereo_T"] if f == "s" else outputs[f"cam_T_cam/{f}"]
         pix = project(cam_points, batch["K"], T, height, width)
         preds[f] = grid_sample(batch["color"][:, i], pix, padding_mode="border")
     return preds

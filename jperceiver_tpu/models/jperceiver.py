@@ -135,9 +135,12 @@ class JPerceiver(nn.Module):
         feats = {
             f: resize_bilinear(color_aug[:, i], ph, pw)
             for i, f in enumerate(self.frame_ids)
+            if f != "s"
         }
         out = {}
         for f in self.frame_ids[1:]:
+            if f == "s":
+                continue  # stereo frame: fixed baseline, no pose net (`net.py:634`)
             pair = [feats[f], feats[0]] if f < 0 else [feats[0], feats[f]]
             enc = self.pose_encoder(jnp.concatenate(pair, axis=-1), train)
             axisangle, translation = self.pose_decoder(enc)

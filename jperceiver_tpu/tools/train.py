@@ -109,6 +109,9 @@ def main(argv=None):
             num_workers=int(cfg.get("workers_per_gpu", 4)),
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            # Evaluation must see every sample: pad the tail instead of
+            # dropping it (pad duplicates bias the mean negligibly).
+            drop_last=False,
         )
         eval_hook = EvalHook(model, val_loader, model_cfg)
 
