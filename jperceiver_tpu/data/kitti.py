@@ -361,3 +361,25 @@ class KittiObject(KittiBase):
             K[:3, :3] = P2[:3, :3]
             self._calib_cache[path] = (K, T_cam2_velo.astype(np.float32))
         return self._calib_cache[path]
+
+
+class KittiDepth(KittiRaw):
+    """KITTI with improved `proj_depth/groundtruth` depth maps.
+
+    Parity with `KITTIDepthDataset` (`kitti_dataset.py:363-391`): GT depth
+    comes from 16-bit PNGs (value/256 metres) instead of raw velodyne.
+    """
+
+    def gt_depth(self, line, flip):
+        drive_dir, frame = self._parse(line)
+        path = os.path.join(
+            self.data_path, drive_dir, "proj_depth/groundtruth/image_02",
+            f"{frame:010d}.png",
+        )
+        if not os.path.isfile(path):
+            return None
+        with open(path, "rb") as f:
+            img = Image.open(f)
+            img = img.resize(FULL_RES_KITTI, Image.NEAREST)
+            depth = np.asarray(img).astype(np.float32) / 256.0
+        return np.fliplr(depth).copy() if flip else depth

@@ -47,7 +47,7 @@ def get_dataset(data_cfg, training: bool = True, with_sdf: bool = False,
                 num_class: int = 2):
     """cfg.data -> dataset instance (parity with `get_dataset.py:9-42`)."""
     from .argoverse import Argoverse
-    from .kitti import KittiObject, KittiOdometry, KittiRaw
+    from .kitti import KittiDepth, KittiObject, KittiOdometry, KittiRaw
 
     dtype = data_cfg.get("type", "static")
     split_dir = data_cfg.get("split_dir")
@@ -73,7 +73,8 @@ def get_dataset(data_cfg, training: bool = True, with_sdf: bool = False,
             raw_calib_root=data_cfg.get("raw_calib_root"), **common
         )
     if dtype == "static_raw":
-        return KittiRaw(**common)
+        cls = KittiDepth if data_cfg.get("name") == "kitti_depth" else KittiRaw
+        return cls(**common)
     if dtype == "dynamic":
         return KittiObject(**common)
     if dtype.startswith("Argo"):

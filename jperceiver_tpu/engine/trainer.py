@@ -141,6 +141,34 @@ class Trainer:
                 return
             yield item
 
+    def fit_resilient(self, state, total_epochs: int, work_dir: str,
+                      rng=None, start_epoch: int = 0, max_restarts: int = 3):
+        """fit() with crash recovery — a capability the reference lacks
+        (SURVEY §5: recovery is manual --resume_from only).
+
+        On a device/runtime failure (e.g. "TPU worker process crashed"),
+        restores the latest checkpoint from `work_dir` and resumes from
+        that epoch, up to `max_restarts` times.
+        """
+        from .checkpoint import restore_checkpoint
+
+        restarts = 0
+        while True:
+            try:
+                return self.fit(state, total_epochs, rng=rng,
+                                start_epoch=start_epoch)
+            except jax.errors.JaxRuntimeError as e:
+                restarts += 1
+                if restarts > max_restarts:
+                    raise
+                self.log_fn({"mode": "restart", "error": str(e)[:200],
+                             "attempt": restarts})
+                try:
+                    state, epoch = restore_checkpoint(work_dir, state)
+                    start_epoch = epoch
+                except FileNotFoundError:
+                    start_epoch = 0  # no checkpoint yet: restart from scratch
+
     def fit(self, state, total_epochs: int, rng=None, start_epoch: int = 0):
         rng = rng if rng is not None else jax.random.key(0)
         for epoch in range(start_epoch, total_epochs):

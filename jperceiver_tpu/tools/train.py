@@ -132,7 +132,10 @@ def main(argv=None):
         log_fn=JsonLogger(args.work_dir),
         log_interval=int(cfg.get("log_config", {}).get("interval", 50)),
     )
-    trainer.fit(state, int(cfg.get("total_epochs", 1)), start_epoch=start_epoch)
+    trainer.fit_resilient(
+        state, int(cfg.get("total_epochs", 1)), args.work_dir,
+        start_epoch=start_epoch,
+    )
 
 
 if __name__ == "__main__":
