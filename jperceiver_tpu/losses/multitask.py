@@ -46,18 +46,36 @@ def _scale_loss(depth_pred, scale_label, model_type: str) -> jax.Array:
     return _masked_abs_rel(depth_pred, scale_label, mask)
 
 
-def _warped_frames(outputs, batch, scale, frame_ids, height, width,
-                   min_depth, max_depth):
-    """Monodepth2 image synthesis for one scale (`net.py:690-702`)."""
-    disp = resize_bilinear(outputs[f"disp/{scale}"], height, width)
-    _, depth = disp_to_depth(disp, min_depth, max_depth)
-    cam_points = backproject(depth, batch["inv_K"])
+def _warped_frames_all(outputs, batch, scales, frame_ids, height, width,
+                       min_depth, max_depth):
+    """Monodepth2 image synthesis for every scale (`net.py:690-702`).
+
+    Numerically identical to the reference's per-scale loop, but each
+    source frame is sampled at the 4 scales' grids with ONE gather
+    (`grid_sample_multi`): the warps dominate the step profile and their
+    cost is per-transaction, not per-element. Returns
+    {frame_id: (B, S, H, W, 3)}.
+    """
+    from ..ops.sampling import grid_sample_multi
+
+    grids = []
+    for scale in scales:
+        disp = resize_bilinear(outputs[f"disp/{scale}"], height, width)
+        _, depth = disp_to_depth(disp, min_depth, max_depth)
+        cam_points = backproject(depth, batch["inv_K"])
+        per_frame = {}
+        for f in frame_ids[1:]:
+            # Stereo frame uses the fixed rig baseline (`net.py:695-698`).
+            T = batch["stereo_T"] if f == "s" else outputs[f"cam_T_cam/{f}"]
+            per_frame[f] = project(cam_points, batch["K"], T, height, width)
+        grids.append(per_frame)
+
     preds = {}
     for i, f in enumerate(frame_ids[1:], start=1):
-        # Stereo frame uses the fixed rig baseline (`net.py:695-698`).
-        T = batch["stereo_T"] if f == "s" else outputs[f"cam_T_cam/{f}"]
-        pix = project(cam_points, batch["K"], T, height, width)
-        preds[f] = grid_sample(batch["color"][:, i], pix, padding_mode="border")
+        stacked = jnp.stack([g[f] for g in grids], axis=1)  # (B,S,H,W,2)
+        preds[f] = grid_sample_multi(
+            batch["color"][:, i], stacked, padding_mode="border"
+        )
     return preds
 
 
@@ -147,21 +165,31 @@ def compute_losses(
     scale_weight = float(cfg.get("scale_weight", 0.1))
     n_scales = len(scales)
 
-    for scale in scales:
+    all_preds = _warped_frames_all(
+        outputs, batch, scales, frame_ids, height, width,
+        cfg.min_depth, cfg.max_depth,
+    )
+    # Identity reprojection is scale-invariant — compute once per frame
+    # (the reference recomputes the same value each scale; only the 1e-5
+    # automask noise is drawn per (scale, frame), preserved below).
+    ident_losses = {}
+    if automask:
+        for i, f in enumerate(frame_ids[1:], start=1):
+            ident_losses[f] = reprojection_loss(batch["color"][:, i], target)
+
+    for si, scale in enumerate(scales):
         disp = outputs[f"disp/{scale}"]
         _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
 
-        preds = _warped_frames(outputs, batch, scale, frame_ids, height, width,
-                               cfg.min_depth, cfg.max_depth)
         reproj = []
         if automask:
-            for i, f in enumerate(frame_ids[1:], start=1):
-                ident = reprojection_loss(batch["color"][:, i], target)
+            for f in frame_ids[1:]:
                 rng, sub = jax.random.split(rng)
+                ident = ident_losses[f]
                 ident = ident + jax.random.normal(sub, ident.shape, ident.dtype) * 1e-5
                 reproj.append(ident)
         for f in frame_ids[1:]:
-            reproj.append(reprojection_loss(preds[f], target))
+            reproj.append(reprojection_loss(all_preds[f][:, si], target))
         stacked = jnp.concatenate(reproj, axis=-1)
         min_reconstruct = stacked.min(axis=-1)
         loss[f"min_reconstruct_loss/{scale}"] = min_reconstruct.mean() / n_scales

@@ -106,6 +106,30 @@ def grid_sample(
     return out.reshape(b, ho, wo, c)
 
 
+def grid_sample_multi(
+    img: jax.Array,
+    grids: jax.Array,
+    padding_mode: str = "border",
+    align_corners: bool = True,
+) -> jax.Array:
+    """Sample ONE image at S independent grids with a single gather.
+
+    Equivalent to stacking `grid_sample(img, grids[:, s])` over s, but the
+    2x2-patch tensor is built once and the S*Ho*Wo indices ride one gather
+    — the multi-scale photometric pyramid samples each source frame at 4
+    grids, and gather setup/transactions dominate its cost.
+
+    Args:
+      img: (B, H, W, C); grids: (B, S, Ho, Wo, 2).
+    Returns:
+      (B, S, Ho, Wo, C).
+    """
+    b, s, ho, wo, _ = grids.shape
+    flat = grids.reshape(b, s * ho, wo, 2)
+    out = grid_sample(img, flat, padding_mode, align_corners)
+    return out.reshape(b, s, ho, wo, img.shape[-1])
+
+
 def warp_perspective(
     src: jax.Array,
     M: jax.Array,

@@ -95,3 +95,14 @@ def test_upsample2x_nearest_matches_torch(rng):
     ours = np.asarray(upsample2x_nearest(jnp.asarray(img)))
     ref = F.interpolate(_nchw(img), scale_factor=2, mode="nearest")
     np.testing.assert_allclose(ours, _to_nhwc(ref), atol=0)
+
+
+def test_grid_sample_multi_equals_stacked(rng):
+    from jperceiver_tpu.ops.sampling import grid_sample_multi
+
+    img = rng.standard_normal((2, 12, 16, 3)).astype(np.float32)
+    grids = rng.uniform(-1.2, 1.2, size=(2, 4, 9, 11, 2)).astype(np.float32)
+    multi = np.asarray(grid_sample_multi(jnp.asarray(img), jnp.asarray(grids)))
+    for s in range(4):
+        single = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grids[:, s])))
+        np.testing.assert_array_equal(multi[:, s], single)
