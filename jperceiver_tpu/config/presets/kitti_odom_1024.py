@@ -47,6 +47,8 @@ model = dict(
     loss2_weight=20,
     loss2_weightS=20,
     loss_sum=3,
+    # B=3/chip at 1024^2 exceeds 16 GB HBM without gradient checkpointing.
+    remat=True,
     type="static",
     split="odometry",
     cgt_label_hw=(375, 1242),

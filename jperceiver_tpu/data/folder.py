@@ -14,7 +14,7 @@ from typing import Sequence
 
 import numpy as np
 
-from .kitti import NORMALIZED_K, pil_open_rgb
+from .kitti import pil_open_rgb
 from .transforms import resize_image, to_array
 
 IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")

@@ -15,10 +15,8 @@ ImageNet-pretrained encoder init like the reference
 from __future__ import annotations
 
 import os
-import re
 from typing import Any
 
-import jax
 import numpy as np
 
 

@@ -13,8 +13,6 @@ transform, and the chained global pose (`global @= inv(T)`,
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

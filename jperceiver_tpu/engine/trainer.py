@@ -12,15 +12,13 @@ over ICI (no manual bucketed allreduce).
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Any, Callable, Iterable, Mapping
+from typing import Callable, Iterable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..losses.multitask import compute_losses, total_loss
-from ..parallel.mesh import data_sharding, make_mesh, replicate
+from ..parallel.mesh import data_sharding, make_mesh
 
 
 def make_train_step(model, cfg, donate: bool = True) -> Callable:
@@ -125,19 +123,26 @@ class Trainer:
         import threading
 
         out: _q.Queue = _q.Queue(maxsize=2)
+        error: list[BaseException] = []
 
         def producer():
-            for _ in range(n_steps):
-                try:
-                    out.put(self._shard(next(it)))
-                except StopIteration:
-                    break
-            out.put(None)
+            try:
+                for _ in range(n_steps):
+                    try:
+                        out.put(self._shard(next(it)))
+                    except StopIteration:
+                        break
+            except BaseException as e:  # surface loader errors, don't hang
+                error.append(e)
+            finally:
+                out.put(None)
 
         threading.Thread(target=producer, daemon=True).start()
         while True:
             item = out.get()
             if item is None:
+                if error:
+                    raise error[0]
                 return
             yield item
 

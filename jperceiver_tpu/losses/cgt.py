@@ -21,8 +21,6 @@ Dataset conventions baked into the reference (kept, with citations):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

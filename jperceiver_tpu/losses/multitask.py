@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.geometry import backproject, disp_to_depth, project
 from ..ops.photometric import reprojection_loss
-from ..ops.sampling import grid_sample, resize_bilinear
+from ..ops.sampling import resize_bilinear
 from ..ops.seg_losses import topview_seg_loss
 from ..ops.smoothness import edge_aware_smoothness
 from .cgt import cgt_scale_label

@@ -98,8 +98,6 @@ def velo_project(points: np.ndarray, P: np.ndarray, h: int, w: int) -> np.ndarra
             _f32p(out), h, w,
         )
         return out
-    from .data.velodyne import generate_depth_map  # noqa: F401  (fallback docs)
-
     # Inline numpy fallback mirroring the native kernel.
     pts = points[points[:, 0] >= 0]
     hom = pts.copy()

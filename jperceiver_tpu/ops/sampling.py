@@ -2,17 +2,14 @@
 
 Replaces the library kernels the reference delegates to — `F.grid_sample`
 (`net.py:701`), `torchgeometry.warp_perspective` (`net.py:285-289`) and
-`F.interpolate` — with pure-JAX formulations: four `take_along_axis` gathers
-plus a lerp. XLA lowers these to TPU gathers fused with the surrounding
-elementwise work; a Pallas variant only pays off if profiling shows the
-gathers dominating (see `ops/pallas/`).
+`F.interpolate` — with pure-JAX formulations built around a single
+packed-patch gather (see `grid_sample`) that XLA fuses with the
+surrounding elementwise work.
 
 All images are NHWC.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    from PIL import Image
 
     from ..config import Config
     from ..data.kitti import pil_open_rgb

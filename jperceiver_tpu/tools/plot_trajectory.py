@@ -31,7 +31,6 @@ def main(argv=None):
 
     from ..evaluation.trajectory import (
         align_trajectory,
-        ate_rmse,
         load_kitti_poses,
         positions,
     )

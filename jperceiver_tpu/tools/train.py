@@ -12,7 +12,6 @@ initializes multi-host when present.
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 
