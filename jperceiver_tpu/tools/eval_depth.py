@@ -63,6 +63,10 @@ def main(argv=None):
                 rows.append([m[k] for k in
                              ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")])
 
+    if not rows:
+        print("no ground-truth depth found in the val split "
+              "(set data.raw_calib_root / use a velodyne-equipped split)")
+        return None
     rows = np.asarray(rows)
     ratios = np.asarray(ratios)
     names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
