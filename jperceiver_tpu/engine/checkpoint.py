@@ -81,9 +81,57 @@ def restore_checkpoint(work_dir: str, state, epoch: int | None = None):
     return state, epoch
 
 
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _merge_matching(current, loaded):
+    """Overwrite leaves of `current` present in `loaded` with equal shape.
+
+    Returns (merged, n_loaded, skipped_paths) — torch
+    `load_state_dict(strict=False)` semantics (`train.py:85-88`).
+    """
+    cur = _flatten(current)
+    new = _flatten(loaded)
+    skipped = []
+    merged = dict(cur)
+    n = 0
+    for path, val in new.items():
+        tgt = cur.get(path)
+        if tgt is not None and getattr(tgt, "shape", None) == getattr(val, "shape", None):
+            merged[path] = val
+            n += 1
+        else:
+            skipped.append("/".join(map(str, path)))
+
+    def unflatten(flat):
+        root: dict = {}
+        for path, val in flat.items():
+            node = root
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = val
+        return root
+
+    return unflatten(merged), n, skipped
+
+
 def load_weights(work_dir_or_path: str, state, epoch: int | None = None,
                  strict: bool = True):
-    """Weights-only load (`load_from` / `finetune` semantics)."""
+    """Weights-only load.
+
+    strict=True  — `load_from` semantics: the checkpoint must match the
+                   model structure exactly.
+    strict=False — `finetune` semantics (torch load_state_dict(strict=False),
+                   `train.py:85-88`): intersecting leaves with matching
+                   shapes are loaded, the rest keep their initialization.
+    """
     import orbax.checkpoint as ocp
 
     mgr = _manager(work_dir_or_path)
@@ -94,10 +142,24 @@ def load_weights(work_dir_or_path: str, state, epoch: int | None = None,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
-    restored = mgr.restore(epoch, args=ocp.args.StandardRestore(template))
-    return state.replace(
-        params=restored["params"], batch_stats=restored["batch_stats"]
+    if strict:
+        restored = mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+        return state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+    raw = mgr.restore(epoch)  # structure-free restore
+    params, n_p, skip_p = _merge_matching(template["params"], raw.get("params", {}))
+    stats, n_s, skip_s = _merge_matching(
+        template["batch_stats"], raw.get("batch_stats", {})
     )
+    if skip_p or skip_s:
+        import logging
+
+        logging.getLogger("jperceiver_tpu").info(
+            "finetune load: %d params + %d stats loaded, %d skipped",
+            n_p, n_s, len(skip_p) + len(skip_s),
+        )
+    return state.replace(params=params, batch_stats=stats)
 
 
 # ---------------------------------------------------------------------------

@@ -152,3 +152,40 @@ def test_orbax_roundtrip(tmp_path):
     back = jax.tree_util.tree_leaves(restored.params)
     for a, b in zip(orig, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_finetune_nonstrict_partial_load(tmp_path):
+    """strict=False transfers intersecting weights, keeps init elsewhere
+
+    (torch load_state_dict(strict=False) semantics, `train.py:85-88`)."""
+    from jperceiver_tpu.config import Config
+    from jperceiver_tpu.data import synthetic_batch
+    from jperceiver_tpu.engine import build_optimizer, create_train_state
+    from jperceiver_tpu.engine.checkpoint import load_weights
+    from jperceiver_tpu.models import JPerceiver
+
+    cfg = Config.fromdict(dict(
+        optimizer=dict(type="Adam", lr=1e-4, weight_decay=0),
+        optimizer_config=dict(grad_clip=dict(max_norm=35)),
+        lr_config=dict(policy="step", warmup=None, step=[50]),
+    ))
+    tx, _ = build_optimizer(cfg, 100)
+
+    mA = JPerceiver(height=128, width=128, occ_map_size=32)
+    bA = {k: jnp.asarray(v) for k, v in synthetic_batch(1, 128, 128, 32).items()}
+    sA = create_train_state(mA, tx, bA, jax.random.key(0))
+    work = str(tmp_path / "ft")
+    save_checkpoint(work, sA, 1)
+
+    # Different occ_map_size -> CVP fc shapes differ; encoders match.
+    mB = JPerceiver(height=256, width=256, occ_map_size=64)
+    bB = {k: jnp.asarray(v) for k, v in synthetic_batch(1, 256, 256, 64).items()}
+    sB = create_train_state(mB, tx, bB, jax.random.key(1))
+    sB2 = load_weights(work, sB, strict=False)
+
+    a = np.asarray(sA.params["depth_encoder"]["encoder"]["conv1"]["kernel"])
+    b = np.asarray(sB2.params["depth_encoder"]["encoder"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+    kept = np.asarray(sB2.params["cvp"]["transform_module"]["fc1"]["kernel"])
+    init = np.asarray(sB.params["cvp"]["transform_module"]["fc1"]["kernel"])
+    np.testing.assert_array_equal(kept, init)
