@@ -1,0 +1,151 @@
+"""Geometrically consistent simulated driving scenes.
+
+Renders a textured ground plane (camera height 1.73 m, the KITTI CGT
+constant) plus a far wall, viewed from a camera translating forward along
++z. Because the three frames are true projections of one static scene,
+the photometric reprojection loss is minimized ONLY by the correct depth
+map and ego-motion, and the CGT scale label equals the true metric depth
+of ground pixels — so a short training run on these scenes validates the
+entire self-supervised pipeline end to end, with analytic ground truth to
+check against. No real dataset required.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CAMERA_HEIGHT = 1.73  # must match the CGT constant for split='odometry'
+WALL_Z = 38.0
+STEP_M = 1.0  # per-frame forward motion (enough parallax to avoid the
+# automask identity-collapse on low-motion scenes)
+
+
+def _texture(rng, size=512, octaves=3):
+    """Smooth-but-contrasty random RGB texture, wrap-around sampling."""
+    tex = np.zeros((size, size, 3), np.float32)
+    for o in range(octaves):
+        n = size >> (octaves - 1 - o)
+        # keep the finest octave coarse (>= 8 texels/feature) so distant
+        # ground pixels (large texel footprints) do not alias into noise
+        layer = rng.uniform(0, 1, (max(4, n // 16), max(4, n // 16), 3)).astype(np.float32)
+        n = layer.shape[0]
+        # bilinear upsample to full size with wraparound
+        idx = np.linspace(0, n, size, endpoint=False)
+        i0 = np.floor(idx).astype(int) % n
+        i1 = (i0 + 1) % n
+        w = (idx - np.floor(idx)).astype(np.float32)
+        up = (
+            layer[i0][:, i0] * (1 - w)[None, :, None] * (1 - w)[:, None, None]
+            + layer[i0][:, i1] * w[None, :, None] * (1 - w)[:, None, None]
+            + layer[i1][:, i0] * (1 - w)[None, :, None] * w[:, None, None]
+            + layer[i1][:, i1] * w[None, :, None] * w[:, None, None]
+        )
+        tex += up * (0.5 ** (octaves - 1 - o))
+    tex -= tex.min()
+    tex /= tex.max() + 1e-6
+    return tex
+
+
+def _sample_tex(tex, u, v, scale=6.0):
+    """Wrap-around bilinear sample of tex at world coords (u, v) meters."""
+    size = tex.shape[0]
+    x = (u * scale) % size
+    y = (v * scale) % size
+    x0 = np.floor(x).astype(int) % size
+    y0 = np.floor(y).astype(int) % size
+    x1 = (x0 + 1) % size
+    y1 = (y0 + 1) % size
+    wx = (x - np.floor(x))[..., None]
+    wy = (y - np.floor(y))[..., None]
+    return (
+        tex[y0, x0] * (1 - wx) * (1 - wy)
+        + tex[y0, x1] * wx * (1 - wy)
+        + tex[y1, x0] * (1 - wx) * wy
+        + tex[y1, x1] * wx * wy
+    )
+
+
+def render_frame(tex_ground, tex_wall, K3, height, width, cam_z):
+    """Render the scene from camera position (0, 0, cam_z); returns
+    (image (H,W,3), gt_depth (H,W))."""
+    fx, fy = K3[0, 0], K3[1, 1]
+    cx, cy = K3[0, 2], K3[1, 2]
+    us, vs = np.meshgrid(np.arange(width), np.arange(height))
+    up = (us - cx) / fx
+    vp = (vs - cy) / fy
+
+    wall_depth = WALL_Z - cam_z  # the wall is at world z, so it parallaxes
+    eps = CAMERA_HEIGHT / wall_depth
+    ground = vp > eps
+    depth = np.where(ground, CAMERA_HEIGHT / np.maximum(vp, 1e-6), wall_depth)
+
+    x_w = up * depth
+    z_w = cam_z + depth
+    y_wall = vp * depth  # height on the wall plane
+
+    img_ground = _sample_tex(tex_ground, x_w, z_w)
+    img_wall = _sample_tex(tex_wall, x_w, y_wall, scale=3.0)
+    img = np.where(ground[..., None], img_ground, img_wall)
+    return img.astype(np.float32), depth.astype(np.float32)
+
+
+def simulated_batch(batch=2, height=256, width=256, seed=0):
+    """A training batch of consistent 3-frame scenes + analytic GT.
+
+    Returns (batch_dict, gt) with gt = {"depth": (B,H,W), "T_fwd": (B,4,4)}.
+    The intrinsics ARE the render intrinsics (unlike KITTI's normalized-K
+    convention) so the photometric geometry is exact.
+    """
+    rng = np.random.default_rng(seed)
+    occ = height // 4
+
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 0.9 * width
+    K[0, 2] = width / 2.0
+    K[1, 2] = height / 2.0
+    inv_K = np.linalg.inv(K).astype(np.float32)
+
+    # cam <- ego(z-up): x_c=-y_e, y_c=-z_e, z_c=x_e — the canonical KITTI
+    # permutation with zero offset, consistent with the rendered geometry.
+    Tr = np.array(
+        [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]], np.float32
+    )
+
+    color = np.zeros((batch, 3, height, width, 3), np.float32)
+    gt_depth = np.zeros((batch, height, width), np.float32)
+    T_fwd = np.zeros((batch, 4, 4), np.float32)
+    for b in range(batch):
+        tex_g = _texture(np.random.default_rng(seed * 97 + b))
+        tex_w = _texture(np.random.default_rng(seed * 97 + b + 31))
+        for i, f in enumerate((0, -1, 1)):
+            img, depth = render_frame(
+                tex_g, tex_w, K, height, width, cam_z=f * STEP_M
+            )
+            color[b, i] = img
+            if f == 0:
+                gt_depth[b] = depth
+        # ground truth cam0 -> cam(+1): new camera is 0.3 m ahead, so points
+        # move by -0.3 in the new camera's z.
+        T = np.eye(4, dtype=np.float32)
+        T[2, 3] = -STEP_M
+        T_fwd[b] = T
+
+    bev = np.ones((batch, occ, occ), np.float32)  # the whole plane is road
+    from ..ops.sdf import signed_distance_field
+
+    return (
+        {
+            "color": color,
+            "color_aug": color.copy(),
+            "K": np.tile(K[None], (batch, 1, 1)),
+            "inv_K": np.tile(inv_K[None], (batch, 1, 1)),
+            "odometry_K": np.tile(K[None], (batch, 1, 1)),
+            "Tr_cam2_velo": np.tile(Tr[None], (batch, 1, 1)),
+            "bev_static": bev,
+            "bev_dynamic": np.zeros_like(bev),
+            "bev_both": bev.copy(),
+            "bev_static_sdf": signed_distance_field(bev.astype(np.int32), 2).astype(np.float32),
+            "bev_dynamic_sdf": np.zeros((batch, occ, occ, 1), np.float32),
+        },
+        {"depth": gt_depth, "T_fwd": T_fwd},
+    )

@@ -1,0 +1,81 @@
+"""Simulated-scene validation: exact geometry closes the loop analytically.
+
+These tests pin the two strongest end-to-end correctness facts the
+framework can prove without real data:
+
+1. warp-consistency: warping frame +1 into frame 0 with the TRUE depth and
+   pose through `backproject/project/grid_sample` reproduces frame 0 —
+   the entire photometric machinery is geometrically exact.
+2. CGT-truth: the CGT scale label synthesized from the BEV road mask and
+   calibration equals the TRUE metric depth of ground pixels — the
+   homography/warp/mask pipeline produces the right metric supervision.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jperceiver_tpu.data.simulated import simulated_batch
+from jperceiver_tpu.losses.cgt import cgt_scale_label
+from jperceiver_tpu.ops.geometry import backproject, project
+from jperceiver_tpu.ops.sampling import grid_sample
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return simulated_batch(1, 256, 256, seed=0)
+
+
+def test_warp_consistency_with_true_geometry(scene):
+    batch, gt = scene
+    depth = jnp.asarray(gt["depth"][:, :, :, None])
+    pts = backproject(depth, jnp.asarray(batch["inv_K"]))
+    grid = project(pts, jnp.asarray(batch["K"]), jnp.asarray(gt["T_fwd"]),
+                   256, 256)
+    warped = np.asarray(grid_sample(jnp.asarray(batch["color"][:, 2]), grid))
+    err = np.abs(warped - batch["color"][:, 0])[0].mean(-1)
+    g = np.asarray(grid)[0]
+    in_view = (np.abs(g[..., 0]) <= 1) & (np.abs(g[..., 1]) <= 1)
+    # ~20% of frame-0 pixels leave frame +1's view at 1 m motion; the
+    # consistency claim applies to co-visible pixels.
+    assert in_view.mean() > 0.5
+    assert err[in_view].mean() < 5e-3, (
+        f"photometric machinery inexact: {err[in_view].mean():.4f}"
+    )
+
+
+def test_cgt_label_equals_true_depth(scene):
+    batch, gt = scene
+    lbl = np.asarray(
+        cgt_scale_label(
+            jnp.asarray(batch["bev_static"]),
+            jnp.asarray(batch["odometry_K"][:, :3, :3]),
+            jnp.asarray(batch["Tr_cam2_velo"]),
+            kind="static", split="odometry", occ_map_size=64,
+            out_hw=(256, 256),
+        )
+    )[0, :, :, 0]
+    mask = lbl > 0
+    assert mask.mean() > 0.01, "CGT support unexpectedly empty"
+    rel = np.abs(lbl[mask] - gt["depth"][0][mask]) / gt["depth"][0][mask]
+    # 'odometry' split carries the fixed -0.27 m velodyne ramp offset and
+    # the rasterized quad boundary; ~5% median error is the expected floor.
+    assert np.median(rel) < 0.10, f"CGT label off: median rel err {np.median(rel):.3f}"
+
+
+def test_cgt_both_label_full_ground_support(scene):
+    batch, gt = scene
+    lbl = np.asarray(
+        cgt_scale_label(
+            jnp.asarray(batch["bev_both"]),
+            jnp.asarray(batch["odometry_K"][:, :3, :3]),
+            jnp.asarray(batch["Tr_cam2_velo"]),
+            kind="both", split="odometry", occ_map_size=64,
+            out_hw=(256, 256),
+        )
+    )[0, :, :, 0]
+    mask = lbl > 1.0  # warped-layout product softens the boundary
+    assert mask.mean() > 0.2, "both-label should cover most visible ground"
+    rel = np.abs(lbl[mask] - gt["depth"][0][mask]) / gt["depth"][0][mask]
+    assert np.median(rel) < 0.10
