@@ -53,17 +53,25 @@ class DataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def _epoch_indices(self) -> np.ndarray:
+    def _epoch_indices(self) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (dataset indices, validity mask) for this rank's shard.
+
+        The mask is False for wrap-around pad entries so consumers (the
+        eval hook) can keep duplicates out of metric means — the
+        reference's rank-strided eval sees each sample exactly once
+        (`eval_hooks.py:128`).
+        """
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
+        valid = np.ones(n, bool)
         global_batch = self.batch_size * self.process_count
         if self.drop_last:
             usable = (n // global_batch) * global_batch
-            idx = idx[:usable]
+            idx, valid = idx[:usable], valid[:usable]
         else:
             # Pad to a multiple of the global batch with wrap-around
             # repeats (`sampler.py:31-36` semantics); np.resize wraps, so
@@ -71,14 +79,22 @@ class DataLoader:
             pad = (-n) % global_batch
             if pad:
                 idx = np.resize(idx, n + pad)
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
         # Rank-strided shard (`sampler.py:37-39`).
-        return idx[self.process_index :: self.process_count]
+        sl = slice(self.process_index, None, self.process_count)
+        return idx[sl], valid[sl]
 
     def __len__(self) -> int:
-        return len(self._epoch_indices()) // self.batch_size
+        return len(self._epoch_indices()[0]) // self.batch_size
 
     def __iter__(self) -> Iterator[dict]:
-        indices = self._epoch_indices()
+        indices, valid = self._epoch_indices()
+        # Advance the epoch counter up front: consumers (Trainer._prefetch)
+        # may abandon the iterator after exactly len(self) batches, so a
+        # post-exhaustion increment would never run and every epoch would
+        # re-see the same permutation. `set_epoch` still overrides (the
+        # reference's DistSamplerSeedHook contract, `sampler.py:16-39`).
+        self.epoch += 1
         n_batches = len(indices) // self.batch_size
         sample_q: queue.Queue = queue.Queue(maxsize=self.prefetch * self.batch_size)
         results: dict[int, dict] = {}
@@ -88,13 +104,23 @@ class DataLoader:
             todo.put((pos, int(ds_idx)))
         stop = threading.Event()
 
+        worker_error: list[BaseException] = []
+
         def worker():
             while not stop.is_set():
                 try:
                     pos, ds_idx = todo.get_nowait()
                 except queue.Empty:
                     return
-                sample = self.dataset[ds_idx]
+                try:
+                    sample = self.dataset[ds_idx]
+                except BaseException as e:
+                    # Surface dataset errors (corrupt PNG, calib parse
+                    # failure) instead of dying silently and hanging the
+                    # consumer on sample_q.get() forever.
+                    worker_error.append(e)
+                    sample_q.put(-1)
+                    return
                 with results_lock:
                     results[pos] = sample
                 sample_q.put(pos)
@@ -113,12 +139,21 @@ class DataLoader:
                 batch_samples = []
                 while len(batch_samples) < self.batch_size:
                     while next_pos not in ready:
-                        ready.add(sample_q.get())
+                        got = sample_q.get()
+                        if got < 0:
+                            raise RuntimeError(
+                                "data loader worker failed"
+                            ) from worker_error[0]
+                        ready.add(got)
                     with results_lock:
                         batch_samples.append(results.pop(next_pos))
                     ready.discard(next_pos)
                     next_pos += 1
-                yield collate(batch_samples)
+                batch = collate(batch_samples)
+                if not self.drop_last:
+                    # Wrap-around pads possible: expose which samples are
+                    # real so eval keeps duplicates out of metric means.
+                    batch["_valid"] = valid[next_pos - self.batch_size : next_pos]
+                yield batch
         finally:
             stop.set()
-        self.epoch += 1

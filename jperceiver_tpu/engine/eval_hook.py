@@ -96,6 +96,9 @@ class EvalHook:
             if self.max_batches is not None and bi >= self.max_batches:
                 break
             gt_depth = batch.pop("gt_depth", None)
+            valid = batch.pop("_valid", None)
+            if valid is None:
+                valid = np.ones(np.asarray(batch["color"]).shape[0], bool)
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
             t0 = time.perf_counter()
             out = self.eval_step(state, jbatch)
@@ -106,6 +109,8 @@ class EvalHook:
 
             if self.with_depth and gt_depth is not None:
                 for i in range(disp.shape[0]):
+                    if not valid[i]:
+                        continue
                     m = depth_metrics_single(disp[i], gt_depth[i], stereo)
                     if m:
                         for k, v in m.items():
@@ -117,6 +122,8 @@ class EvalHook:
                 road_gt = np.asarray(batch["bev_static"]).astype(np.int64)
                 veh_gt = np.asarray(batch["bev_dynamic"]).astype(np.int64)
                 for i in range(road_pred.shape[0]):
+                    if not valid[i]:
+                        continue
                     if model_type in ("static", "static_raw", "Argo_static", "Argo_both"):
                         iou = mean_iu(road_pred[i], road_gt[i])
                         prec = mean_precision(road_pred[i], road_gt[i])
@@ -135,16 +142,25 @@ class EvalHook:
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            keys = sorted(summary)
-            sums = np.asarray([summary[k] * counts[k] for k in keys])
-            ns = np.asarray([counts[k] for k in keys], np.float64)
+            # Fixed, pre-agreed key list: a host whose shard produced no
+            # valid depth GT (or no layout labels) must still contribute
+            # identically-shaped arrays to the allgather — per-process
+            # sorted(summary) would be ragged/misaligned.
+            keys = DEPTH_KEYS + [
+                "road_iou", "road_map", "vehicle_iou", "vehicle_map"]
+            sums = np.asarray(
+                [summary.get(k, 0.0) * counts.get(k, 0) for k in keys])
+            ns = np.asarray([counts.get(k, 0) for k in keys], np.float64)
             gathered = multihost_utils.process_allgather(
                 np.concatenate([sums, ns])
             )
             gathered = gathered.reshape(jax.process_count(), 2, len(keys))
             tot = gathered[:, 0].sum(0)
             n = gathered[:, 1].sum(0)
-            summary = {k: float(tot[i] / max(n[i], 1)) for i, k in enumerate(keys)}
+            summary = {
+                k: float(tot[i] / n[i])
+                for i, k in enumerate(keys) if n[i] > 0
+            }
         if fwd_time > 0:
             # Local FPS counter, parity with `eval_hooks.py:142-146,246`.
             summary["fps"] = n_imgs / fwd_time

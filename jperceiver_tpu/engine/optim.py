@@ -42,10 +42,22 @@ def build_lr_schedule(cfg, steps_per_epoch: int):
         raise ValueError(f"unsupported lr policy: {policy}")
 
     if lr_cfg.get("warmup", None) == "linear":
+        # mmcv semantics (LrUpdaterHook.get_warmup_lr): the warmup factor
+        # multiplies the regular schedule's lr AT THE ABSOLUTE iteration —
+        # step-LR milestones stay at their absolute positions. (A naive
+        # optax.join_schedules would feed `step - warmup_iters` into the
+        # post-warmup schedule, shifting every milestone later.)
+        import jax.numpy as jnp
+
         wi = int(lr_cfg.get("warmup_iters", 500))
         ratio = float(lr_cfg.get("warmup_ratio", 1.0 / 3))
-        warm = optax.linear_schedule(base_lr * ratio, base_lr, wi)
-        sched = optax.join_schedules([warm, sched], [wi])
+        base_sched = sched
+
+        def sched(step):
+            frac = jnp.minimum(jnp.asarray(step, jnp.float32), wi) / wi
+            factor = 1.0 - (1.0 - frac) * (1.0 - ratio)
+            return base_sched(step) * factor
+
     return sched
 
 

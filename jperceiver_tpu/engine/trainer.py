@@ -178,6 +178,11 @@ class Trainer:
         rng = rng if rng is not None else jax.random.key(0)
         for epoch in range(start_epoch, total_epochs):
             t_epoch = time.time()
+            # Epoch-seeded reshuffle (the reference's DistSamplerSeedHook,
+            # `trainer.py:181-190`): explicit so resumed runs (`fit_resilient`)
+            # see the same per-epoch order as an uninterrupted run.
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(epoch)
             batches = self._prefetch(iter(self.train_loader), self.steps_per_epoch)
             for i, batch in enumerate(batches):
                 if self.profile_dir and epoch == start_epoch and i == 10:

@@ -94,49 +94,60 @@ def compute_losses(
 
     loss = {}
 
-    # ---- BEV layout losses (road branch) --------------------------------
-    weight_s = jnp.asarray([1.0, float(cfg.get("static_weight", 5.0))], jnp.float32)
-    weight_d = jnp.asarray([1.0, float(cfg.get("dynamic_weight", 15.0))], jnp.float32)
+    # Branch gating (`net.py:125-159` root copy — the runnable semantics:
+    # the `mono/` copy leaves weightD unbound for single-branch types):
+    # static types train the road branch only, dynamic types the vehicle
+    # branch only, Argo_both trains both. Under XLA this also dead-code-
+    # eliminates the inactive branch's forward out of the train step —
+    # the reference relied on DDP find_unused_parameters=True instead.
     seg_kwargs = dict(
         loss_type=cfg.get("loss_type", "iou"),
         loss_sum=int(cfg.get("loss_sum", 1)),
     )
-    labels_s = batch["bev_static"].astype(jnp.int32)
-    sdf_s = batch.get("bev_static_sdf")
-    lw_s = float(cfg.get("loss_weightS", cfg.get("loss_weight", 1.0)))
-    l2w_s = float(cfg.get("loss2_weightS", cfg.get("loss2_weight", 1.0)))
-    loss["topview_loss"] = topview_seg_loss(
-        outputs["topview"], labels_s, weight_s, loss_weight=lw_s,
-        loss2_weight=l2w_s, sdf=sdf_s, **seg_kwargs)
-    loss["transform_topview_loss"] = topview_seg_loss(
-        outputs["transform_topview"], labels_s, weight_s, loss_weight=lw_s,
-        loss2_weight=l2w_s, sdf=sdf_s, **seg_kwargs)
-    loss["transform_loss"] = jnp.mean(
-        jnp.abs(outputs["features"] - outputs["retransform_features"]))
-    loss["layout_loss"] = (
-        loss["topview_loss"]
-        + 0.001 * loss["transform_loss"]
-        + loss["transform_topview_loss"]
-    )
+
+    # ---- BEV layout losses (road branch) --------------------------------
+    if model_type in ("static", "static_raw", "Argo_static", "Argo_both"):
+        weight_s = jnp.asarray(
+            [1.0, float(cfg.get("static_weight", 5.0))], jnp.float32)
+        labels_s = batch["bev_static"].astype(jnp.int32)
+        sdf_s = batch.get("bev_static_sdf")
+        lw_s = float(cfg.get("loss_weightS", cfg.get("loss_weight", 1.0)))
+        l2w_s = float(cfg.get("loss2_weightS", cfg.get("loss2_weight", 1.0)))
+        loss["topview_loss"] = topview_seg_loss(
+            outputs["topview"], labels_s, weight_s, loss_weight=lw_s,
+            loss2_weight=l2w_s, sdf=sdf_s, **seg_kwargs)
+        loss["transform_topview_loss"] = topview_seg_loss(
+            outputs["transform_topview"], labels_s, weight_s, loss_weight=lw_s,
+            loss2_weight=l2w_s, sdf=sdf_s, **seg_kwargs)
+        loss["transform_loss"] = jnp.mean(
+            jnp.abs(outputs["features"] - outputs["retransform_features"]))
+        loss["layout_loss"] = (
+            loss["topview_loss"]
+            + 0.001 * loss["transform_loss"]
+            + loss["transform_topview_loss"]
+        )
 
     # ---- BEV layout losses (vehicle branch) ------------------------------
-    labels_d = batch["bev_dynamic"].astype(jnp.int32)
-    sdf_d = batch.get("bev_dynamic_sdf")
-    lw_d = float(cfg.get("loss_weight", 1.0))
-    l2w_d = float(cfg.get("loss2_weight", 1.0))
-    loss["topview_lossB"] = topview_seg_loss(
-        outputs["topviewB"], labels_d, weight_d, loss_weight=lw_d,
-        loss2_weight=l2w_d, sdf=sdf_d, **seg_kwargs)
-    loss["transform_topview_lossB"] = topview_seg_loss(
-        outputs["transform_topviewB"], labels_d, weight_d, loss_weight=lw_d,
-        loss2_weight=l2w_d, sdf=sdf_d, **seg_kwargs)
-    loss["transform_lossB"] = jnp.mean(
-        jnp.abs(outputs["featuresB"] - outputs["retransform_featuresB"]))
-    loss["layout_lossB"] = (
-        loss["topview_lossB"]
-        + 0.001 * loss["transform_lossB"]
-        + loss["transform_topview_lossB"]
-    )
+    if model_type in ("dynamic", "Argo_dynamic", "Argo_both"):
+        weight_d = jnp.asarray(
+            [1.0, float(cfg.get("dynamic_weight", 15.0))], jnp.float32)
+        labels_d = batch["bev_dynamic"].astype(jnp.int32)
+        sdf_d = batch.get("bev_dynamic_sdf")
+        lw_d = float(cfg.get("loss_weight", 1.0))
+        l2w_d = float(cfg.get("loss2_weight", 1.0))
+        loss["topview_lossB"] = topview_seg_loss(
+            outputs["topviewB"], labels_d, weight_d, loss_weight=lw_d,
+            loss2_weight=l2w_d, sdf=sdf_d, **seg_kwargs)
+        loss["transform_topview_lossB"] = topview_seg_loss(
+            outputs["transform_topviewB"], labels_d, weight_d, loss_weight=lw_d,
+            loss2_weight=l2w_d, sdf=sdf_d, **seg_kwargs)
+        loss["transform_lossB"] = jnp.mean(
+            jnp.abs(outputs["featuresB"] - outputs["retransform_featuresB"]))
+        loss["layout_lossB"] = (
+            loss["topview_lossB"]
+            + 0.001 * loss["transform_lossB"]
+            + loss["transform_topview_lossB"]
+        )
 
     # ---- CGT scale label --------------------------------------------------
     full_hw = tuple(cfg.get("cgt_label_hw", (375, 1242)))

@@ -169,3 +169,50 @@ def test_read_calib_file_types(tmp_path):
     d = read_calib_file(str(p))
     np.testing.assert_array_equal(d["A"], [1, 2, 3])
     assert "B" not in d or isinstance(d.get("B"), np.ndarray) is False
+
+
+def test_loader_epoch_advances_when_iterator_abandoned(fake_odom):
+    """Regression: every epoch must see a fresh permutation even when the
+    consumer (Trainer._prefetch) abandons the iterator after len(loader)
+    batches instead of driving it to exhaustion."""
+    names = [f"00/road_dense128/{i:06d}.png" for i in range(4)]
+    ds = KittiOdometry(fake_odom, names, 128, 128, is_train=False)
+    dl = DataLoader(ds, batch_size=1, shuffle=True, num_workers=1, seed=7)
+
+    def order():
+        sums = []
+        it = iter(dl)
+        for _ in range(len(dl)):  # abandon without exhausting
+            sums.append(round(float(next(it)["color"].sum()), 3))
+        return sums
+
+    e0, e1 = order(), order()
+    assert set(e0) == set(e1)  # same samples...
+    assert e0 != e1  # ...different order
+    # set_epoch still pins the permutation (DistSamplerSeedHook contract).
+    dl.set_epoch(0)
+    assert order() == e0
+
+
+def test_loader_pad_mask_marks_wraparound(fake_odom):
+    names = [f"00/road_dense128/{i:06d}.png" for i in range(3)]
+    ds = KittiOdometry(fake_odom, names, 128, 128, is_train=False)
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1,
+                    drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 2
+    got = np.concatenate([b["_valid"] for b in batches])
+    np.testing.assert_array_equal(got, [True, True, True, False])
+
+
+def test_loader_worker_error_surfaces(fake_odom):
+    class Broken:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            raise ValueError("corrupt sample")
+
+    dl = DataLoader(Broken(), batch_size=1, shuffle=False, num_workers=1)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(dl)

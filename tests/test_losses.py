@@ -175,3 +175,44 @@ def test_smoothness_golden(rng):
 
     ours = float(edge_aware_smoothness(jnp.asarray(disp), jnp.asarray(img)))
     assert np.isclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_branch_gating_by_model_type():
+    """Only the active branch's losses appear (root net.py:125-159)."""
+    import jax
+    import jax.numpy as jnp
+    from jperceiver_tpu.config import Config
+    from jperceiver_tpu.losses import compute_losses
+
+    B, S = 1, 32
+    base = dict(frame_ids=[0, -1, 1], scales=[0], height=64, width=64,
+                occ_map_size=S, num_class=2, min_depth=0.1, max_depth=100.0,
+                loss_type="iou", loss_sum=1, loss_weight=1, split="odometry",
+                cgt_label_hw=(47, 78))
+    outputs = {}
+    k = jax.random.key(0)
+    for name in ("topview", "transform_topview", "topviewB",
+                 "transform_topviewB"):
+        outputs[name] = jax.random.normal(jax.random.fold_in(k, hash(name) % 97),
+                                          (B, S, S, 2))
+    for name in ("features", "retransform_features", "featuresB",
+                 "retransform_featuresB"):
+        outputs[name] = jax.random.normal(jax.random.fold_in(k, hash(name) % 89),
+                                          (B, 8, 8, 128))
+    outputs["disp/0"] = jnp.full((B, 16, 16, 1), 0.5)
+    outputs["cam_T_cam/-1"] = jnp.eye(4)[None]
+    outputs["cam_T_cam/1"] = jnp.eye(4)[None]
+    K = jnp.eye(4).at[0, 0].set(50.0).at[1, 1].set(50.0).at[0, 2].set(32.0).at[1, 2].set(32.0)[None]
+    batch = dict(
+        color=jnp.zeros((B, 3, 64, 64, 3)),
+        bev_static=jnp.zeros((B, S, S), jnp.int32),
+        bev_dynamic=jnp.zeros((B, S, S), jnp.int32),
+        K=K, inv_K=jnp.linalg.inv(K),
+        odometry_K=K, Tr_cam2_velo=jnp.eye(4)[None],
+    )
+    ld_static = compute_losses(outputs, batch, Config.fromdict(dict(type="static", **base)),
+                               jax.random.key(1))
+    assert "topview_loss" in ld_static and "topview_lossB" not in ld_static
+    ld_dyn = compute_losses(outputs, batch, Config.fromdict(dict(type="dynamic", **base)),
+                            jax.random.key(1))
+    assert "topview_lossB" in ld_dyn and "topview_loss" not in ld_dyn
