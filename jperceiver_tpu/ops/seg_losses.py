@@ -100,11 +100,109 @@ def boundary_loss(logits: jax.Array, sdf: jax.Array) -> jax.Array:
     return jnp.mean(probs[..., 1:] * sdf)
 
 
+def generalized_dice_loss(
+    logits: jax.Array, labels: jax.Array, smooth: float = 1e-5
+) -> jax.Array:
+    """Generalized Dice (`dice_loss.py:86-127`): class weights 1/|gt_c|².
+
+    The reference module is written for 5-D volumes (its einsums are
+    "bcxyz"); this is the same math on (B, H, W, C) logits.
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=probs.dtype)
+    gt_sum = jnp.sum(onehot, axis=(1, 2))                      # (B, C)
+    w = 1.0 / (gt_sum + 1e-10) ** 2
+    intersection = w * jnp.sum(probs * onehot, axis=(1, 2))
+    union = w * (jnp.sum(probs, axis=(1, 2)) + gt_sum)
+    divided = -2.0 * (intersection.sum(-1) + smooth) / (union.sum(-1) + smooth)
+    return divided.mean()
+
+
+def ss_loss(
+    logits: jax.Array, labels: jax.Array, r: float = 0.1, smooth: float = 1.0
+) -> jax.Array:
+    """Sensitivity-Specificity loss (`dice_loss.py:193-253`), r=0.1.
+
+    Keeps the reference's (swapped) naming quirk: the term it calls
+    "specificity_part" is the squared error over the GT-positive region.
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=probs.dtype)
+    bg = 1.0 - onehot
+    sq = (onehot - probs) ** 2
+    spec = jnp.sum(sq * onehot, axis=(1, 2)) / (jnp.sum(onehot, axis=(1, 2)) + smooth)
+    sens = jnp.sum(sq * bg, axis=(1, 2)) / (jnp.sum(bg, axis=(1, 2)) + smooth)
+    return jnp.mean(r * spec + (1.0 - r) * sens)
+
+
+def asym_loss(
+    logits: jax.Array, labels: jax.Array, beta: float = 1.5, smooth: float = 1.0
+) -> jax.Array:
+    """Asymmetric similarity loss (`dice_loss.py:389-434`), beta=1.5."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    tp, fp, fn = _tp_fp_fn(probs, labels, logits.shape[-1])
+    weight = beta**2 / (1.0 + beta**2)
+    asym = (tp + smooth) / (tp + weight * fn + (1.0 - weight) * fp + smooth)
+    return -jnp.mean(asym)
+
+
+def _edt_sq(mask: jax.Array, big: float = 1e12) -> jax.Array:
+    """Exact squared Euclidean distance transform on device.
+
+    mask: (B, H, W) bool — foreground. Returns (B, H, W) float32: squared
+    distance from each foreground pixel to the nearest background pixel
+    (0 on background). Two separable min-plus passes — each is a broadcast
+    min-reduction that XLA tiles onto the VPU; no host round-trip, unlike
+    the reference's per-step scipy EDT (`boundary_loss.py:214-251`).
+    """
+    b, h, w = mask.shape
+    cols = jnp.arange(w, dtype=jnp.float32)
+    dj = (cols[None, :] - cols[:, None]) ** 2                   # (k, j)
+    bg = ~mask.astype(bool)
+    d1 = jnp.min(
+        jnp.where(bg[..., :, None], dj[None, None], big), axis=-2
+    )                                                           # (B, H, W)
+    rows = jnp.arange(h, dtype=jnp.float32)
+    di = (rows[None, :] - rows[:, None]) ** 2                   # (r, i)
+    dsq = jnp.min(d1[:, :, None, :] + di[None, :, :, None], axis=1)
+    return jnp.where(mask.astype(bool), jnp.minimum(dsq, big), 0.0)
+
+
+def hausdorff_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """HD-inspired Hausdorff loss (`boundary_loss.py:255-321`, alpha=2).
+
+    dist = pred_DTM² + gt_DTM² (both squared EDTs, stop-gradient like the
+    reference's no_grad CPU transforms); loss = mean over foreground
+    channels of (softmax − onehot)² · dist.
+    """
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=probs.dtype)
+
+    dists = []
+    for c in range(1, num_classes):
+        pred_mask = probs[..., c] > 0.5
+        gt_mask = onehot[..., c] > 0.5
+        pc = jnp.where(pred_mask.any(axis=(1, 2))[:, None, None],
+                       _edt_sq(pred_mask), 0.0)
+        gt = jnp.where(gt_mask.any(axis=(1, 2))[:, None, None],
+                       _edt_sq(gt_mask), 0.0)
+        dists.append(pc + gt)
+    dist = jax.lax.stop_gradient(jnp.stack(dists, axis=-1))    # (B,H,W,C-1)
+    pred_error = (probs[..., 1:] - onehot[..., 1:]) ** 2
+    return jnp.mean(pred_error * dist)
+
+
 _PRIMARY = {
     "iou": soft_iou_loss,
     "dice": soft_dice_loss,
     "focal": focal_loss,
     "tversky": tversky_loss,
+    # Library-only in the reference (never selected by net.py:562-573);
+    # exposed here as selectable superset.
+    "gdice": generalized_dice_loss,
+    "ss": ss_loss,
+    "asym": asym_loss,
 }
 
 
