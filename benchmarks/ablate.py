@@ -1,0 +1,170 @@
+"""Component ablation profile of the flagship train step (1024^2, B=1).
+
+Monkeypatches one subsystem at a time out of the jitted step and measures
+the wall-clock delta — the honest way to attribute step time on a platform
+where block_until_ready is a no-op. Usage:
+
+  python benchmarks/ablate.py [full no_cgt no_ssim no_warp fwd_bwd_only ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(h=1024, batch_size=1):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+    from jperceiver_tpu.config import Config
+    from jperceiver_tpu.data import synthetic_batch
+    from jperceiver_tpu.engine import build_optimizer, create_train_state, make_train_step
+    from jperceiver_tpu.models import JPerceiver
+
+    w = h
+    occ = 256 if h >= 1024 else h // 4
+    cfg = Config.fromdict(
+        dict(
+            type="static", split="odometry", frame_ids=[0, -1, 1],
+            scales=[0, 1, 2, 3], height=h, width=w, occ_map_size=occ,
+            num_class=2, min_depth=0.1, max_depth=100.0, automask=True,
+            disp_norm=True, smoothness_weight=1e-3, scale_weight=0.1,
+            static_weight=5.0, dynamic_weight=15.0, loss_type="iou",
+            loss_sum=3, loss_weight=20, loss2_weight=20, loss_weightS=20,
+            loss2_weightS=20, cgt_label_hw=(375, 1242),
+            optimizer=dict(type="Adam", lr=1e-4, weight_decay=0),
+            optimizer_config=dict(grad_clip=dict(max_norm=35, norm_type=2)),
+            lr_config=dict(policy="step", warmup=None, step=[50]),
+        )
+    )
+    model = JPerceiver(height=h, width=w, occ_map_size=occ)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(batch_size, h, w, occ).items()}
+    tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
+    state = create_train_state(model, tx, batch, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    return step, state, batch
+
+
+def timeit(step, state, batch, n_iters=10, reps=3):
+    import jax
+
+    rng = jax.random.key(1)
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, rng)
+    float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, metrics = step(state, batch, rng)
+        float(metrics["loss"])
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+    return best * 1e3, compile_s
+
+
+def patched(name):
+    """Apply the named ablation; returns an undo callable."""
+    import jax.numpy as jnp
+
+    import jperceiver_tpu.losses.multitask as mt
+    import jperceiver_tpu.ops.photometric as ph
+
+    undo = []
+
+    if name == "no_cgt":
+        orig = mt.cgt_scale_label
+
+        def fake_cgt(bev, k3, tr, **kw):
+            b = k3.shape[0]
+            return jnp.ones((b, 8, 8, 1), jnp.float32)
+
+        mt.cgt_scale_label = fake_cgt
+        undo.append(lambda: setattr(mt, "cgt_scale_label", orig))
+    elif name == "no_ssim":
+        orig = ph.ssim
+
+        def fake_ssim(x, y):
+            return jnp.zeros_like(x)
+
+        ph.ssim = fake_ssim
+        undo.append(lambda: setattr(ph, "ssim", orig))
+    elif name == "no_warp":
+        orig = mt._warped_frames_all
+
+        def fake_warp(outputs, batch, scales, frame_ids, height, width, *a):
+            out = {}
+            for i, f in enumerate(frame_ids[1:], start=1):
+                out[f] = jnp.repeat(batch["color"][:, i][:, None], len(scales), 1)
+            return out
+
+        mt._warped_frames_all = fake_warp
+        undo.append(lambda: setattr(mt, "_warped_frames_all", orig))
+    elif name == "no_photo":
+        orig = mt.compute_losses
+
+        def fake_losses(outputs, batch, cfg, rng):
+            ld = orig(outputs, batch, cfg, rng)
+            return {k: v for k, v in ld.items()
+                    if not k.startswith(("min_reconstruct", "smooth"))}
+
+        # cheaper: recompute but drop? that still computes. Instead patch
+        # reprojection_loss AND smoothness to trivial.
+        mt.compute_losses = orig
+        r_orig = mt.reprojection_loss
+        s_orig = mt.edge_aware_smoothness
+        mt.reprojection_loss = lambda p, t: jnp.mean(
+            p - t, axis=-1, keepdims=True)
+        mt.edge_aware_smoothness = lambda d, t: jnp.mean(d)
+        undo.append(lambda: setattr(mt, "reprojection_loss", r_orig))
+        undo.append(lambda: setattr(mt, "edge_aware_smoothness", s_orig))
+    elif name == "no_layout":
+        import jperceiver_tpu.ops.seg_losses as sl
+
+        orig = mt.topview_seg_loss
+
+        def fake_seg(logits, labels, w, **kw):
+            return jnp.mean(logits)
+
+        mt.topview_seg_loss = fake_seg
+        undo.append(lambda: setattr(mt, "topview_seg_loss", orig))
+    elif name == "full":
+        pass
+    else:
+        raise ValueError(name)
+
+    def restore():
+        for u in undo:
+            u()
+
+    return restore
+
+
+def main():
+    names = sys.argv[1:] or ["full", "no_cgt", "no_ssim", "no_warp", "no_photo"]
+    for name in names:
+        restore = patched(name)
+        try:
+            step, state, batch = build()
+            ms, compile_s = timeit(step, state, batch)
+            print(json.dumps(dict(ablation=name, step_ms=round(ms, 1),
+                                  compile_s=round(compile_s, 1))), flush=True)
+        except Exception as e:
+            print(json.dumps(dict(ablation=name,
+                                  error=f"{type(e).__name__}: {str(e)[:160]}")),
+                  flush=True)
+        finally:
+            restore()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,92 @@ def save_kitti_poses(path: str, poses: np.ndarray) -> None:
     np.savetxt(path, poses[:, :3, :4].reshape(len(poses), 12))
 
 
+def load_kitti_poses_indexed(path: str) -> dict[int, np.ndarray]:
+    """KITTI pose file, tolerating an optional leading frame-index column.
+
+    Matches `kitti_evaluation_toolkit.py:69-97` (`loadPoses`): 13-number
+    lines carry `idx P(3x4)`, 12-number lines are consecutive frames.
+    Returns {frame_idx: (4, 4)}.
+    """
+    poses: dict[int, np.ndarray] = {}
+    with open(path) as f:
+        for cnt, line in enumerate(f):
+            vals = [float(v) for v in line.split()]
+            if not vals:
+                continue
+            with_idx = len(vals) == 13
+            P = np.eye(4)
+            P[:3, :4] = np.asarray(vals[1:] if with_idx else vals).reshape(3, 4)
+            poses[int(vals[0]) if with_idx else cnt] = P
+    return poses
+
+
+def load_tum_trajectory(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """TUM format (`timestamp tx ty tz qx qy qz qw`, '#' comments) ->
+    (timestamps (N,), poses (N, 4, 4)).
+
+    Parity with evo's `read_tum_trajectory_file` (`file_interface.py:75-98`).
+    """
+    from .transforms import quaternion_matrix
+
+    rows = _read_matrix(path, delim=None)
+    if rows.size and rows.shape[1] != 8:
+        raise ValueError("TUM trajectory files must have 8 entries per row")
+    stamps = rows[:, 0]
+    poses = np.tile(np.eye(4), (len(rows), 1, 1))
+    for i, r in enumerate(rows):
+        q = np.roll(r[4:8], 1)  # xyzw -> wxyz
+        poses[i] = quaternion_matrix(q)
+        poses[i][:3, 3] = r[1:4]
+    return stamps, poses
+
+
+def save_tum_trajectory(path: str, poses: np.ndarray,
+                        timestamps: np.ndarray | None = None) -> None:
+    """Inverse of `load_tum_trajectory` (`file_interface.py:100-120`)."""
+    from .transforms import quaternion_from_matrix
+
+    if timestamps is None:
+        timestamps = np.arange(len(poses), dtype=np.float64)
+    rows = np.empty((len(poses), 8))
+    rows[:, 0] = timestamps
+    for i, p in enumerate(poses):
+        rows[i, 1:4] = p[:3, 3]
+        rows[i, 4:8] = np.roll(quaternion_from_matrix(p), -1)  # wxyz -> xyzw
+    np.savetxt(path, rows, delimiter=" ")
+
+
+def load_euroc_csv(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """EuRoC MAV state-estimate CSV -> (timestamps s, poses (N, 4, 4)).
+
+    `<seq>/mav0/state_groundtruth_estimate0/data.csv`: 17 comma-separated
+    columns, ns timestamp, position xyz, quaternion wxyz
+    (`file_interface.py:166-186`).
+    """
+    from .transforms import quaternion_matrix
+
+    rows = _read_matrix(path, delim=",")
+    if rows.size and rows.shape[1] != 17:
+        raise ValueError("EuRoC state ground truth must have 17 entries per row")
+    stamps = rows[:, 0] / 1e9
+    poses = np.tile(np.eye(4), (len(rows), 1, 1))
+    for i, r in enumerate(rows):
+        poses[i] = quaternion_matrix(r[4:8])  # already wxyz
+        poses[i][:3, 3] = r[1:4]
+    return stamps, poses
+
+
+def _read_matrix(path: str, delim: str | None) -> np.ndarray:
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            rows.append([float(v) for v in line.split(delim)])
+    return np.asarray(rows, dtype=np.float64)
+
+
 def accumulate_relative(rel_poses: np.ndarray) -> np.ndarray:
     """Chain per-pair transforms into a global trajectory.
 

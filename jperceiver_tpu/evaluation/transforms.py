@@ -80,6 +80,103 @@ def euler_from_matrix(M, order: str = "xyz") -> tuple[float, float, float]:
     return float(roll), float(pitch), float(yaw)
 
 
+def euler_from_matrix_axes(M, axes: str = "sxyz") -> tuple[float, float, float]:
+    """Euler angles in any of the 24 Shoemake conventions ('sxyz'..'rzyx').
+
+    Same contract as Gohlke `transformations.euler_from_matrix` (the
+    reference's vendored copy, used with axes='szxy' by the rpy plot,
+    `kitti_evaluation_toolkit.py:243`); implemented from the standard
+    Graphics Gems IV euler-factorization algorithm.
+    """
+    axes = axes.lower()
+    frame = {"s": 0, "r": 1}[axes[0]]
+    seq = axes[1:]
+    if frame:  # rotating-frame 'rabc' == static 'scba' with swapped ends
+        seq = seq[::-1]
+    idx = {"x": 0, "y": 1, "z": 2}
+    i, j = idx[seq[0]], idx[seq[1]]
+    repetition = 1 if seq[0] == seq[2] else 0
+    k = ({0, 1, 2} - {i, j}).pop() if repetition else idx[seq[2]]
+    nxt = [1, 2, 0]
+    parity = 0 if j == nxt[i] else 1
+
+    R = np.asarray(M, np.float64)[:3, :3]
+    eps = np.finfo(np.float64).eps * 4.0
+    if repetition:
+        sy = np.sqrt(R[i, j] * R[i, j] + R[i, k] * R[i, k])
+        if sy > eps:
+            ax = np.arctan2(R[i, j], R[i, k])
+            ay = np.arctan2(sy, R[i, i])
+            az = np.arctan2(R[j, i], -R[k, i])
+        else:
+            ax = np.arctan2(-R[j, k], R[j, j])
+            ay = np.arctan2(sy, R[i, i])
+            az = 0.0
+    else:
+        cy = np.sqrt(R[i, i] * R[i, i] + R[j, i] * R[j, i])
+        if cy > eps:
+            ax = np.arctan2(R[k, j], R[k, k])
+            ay = np.arctan2(-R[k, i], cy)
+            az = np.arctan2(R[j, i], R[i, i])
+        else:
+            ax = np.arctan2(-R[j, k], R[j, j])
+            ay = np.arctan2(-R[k, i], cy)
+            az = 0.0
+    if parity:
+        ax, ay, az = -ax, -ay, -az
+    if frame:
+        ax, az = az, ax
+    return float(ax), float(ay), float(az)
+
+
+def euler_matrix_axes(ai: float, aj: float, ak: float,
+                      axes: str = "sxyz") -> np.ndarray:
+    """Inverse of `euler_from_matrix_axes` (Gohlke `euler_matrix`)."""
+    axes = axes.lower()
+    frame = {"s": 0, "r": 1}[axes[0]]
+    seq = axes[1:]
+    if frame:  # rotating-frame 'rabc' == static 'scba' with swapped ends
+        seq = seq[::-1]
+    idx = {"x": 0, "y": 1, "z": 2}
+    i, j = idx[seq[0]], idx[seq[1]]
+    repetition = 1 if seq[0] == seq[2] else 0
+    k = ({0, 1, 2} - {i, j}).pop() if repetition else idx[seq[2]]
+    nxt = [1, 2, 0]
+    parity = 0 if j == nxt[i] else 1
+
+    if frame:
+        ai, ak = ak, ai
+    if parity:
+        ai, aj, ak = -ai, -aj, -ak
+    si, sj, sk = np.sin(ai), np.sin(aj), np.sin(ak)
+    ci, cj, ck = np.cos(ai), np.cos(aj), np.cos(ak)
+    cc, cs = ci * ck, ci * sk
+    sc, ss = si * ck, si * sk
+
+    R = np.eye(4)
+    if repetition:
+        R[i, i] = cj
+        R[i, j] = sj * si
+        R[i, k] = sj * ci
+        R[j, i] = sj * sk
+        R[j, j] = -cj * ss + cc
+        R[j, k] = -cj * cs - sc
+        R[k, i] = -sj * ck
+        R[k, j] = cj * sc + cs
+        R[k, k] = cj * cc - ss
+    else:
+        R[i, i] = cj * ck
+        R[i, j] = sj * sc - cs
+        R[i, k] = sj * cc + ss
+        R[j, i] = cj * sk
+        R[j, j] = sj * ss + cc
+        R[j, k] = sj * cs - sc
+        R[k, i] = -sj
+        R[k, j] = cj * si
+        R[k, k] = cj * ci
+    return R
+
+
 def euler_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
     """Intrinsic xyz Euler -> 4x4 rotation."""
     cr, sr = np.cos(roll), np.sin(roll)
