@@ -50,6 +50,27 @@ def get_dataset(data_cfg, training: bool = True, with_sdf: bool = False,
     from .kitti import KittiDepth, KittiObject, KittiOdometry, KittiRaw
 
     dtype = data_cfg.get("type", "static")
+    name = data_cfg.get("name", "")
+
+    # Aux datasets dispatch by `name` like the reference factory
+    # (`get_dataset.py:10-29`); euroc/eth3d/folder scan a directory tree,
+    # cityscape/nuscenes consume split files.
+    if name in ("euroc", "eth3d", "folder"):
+        from .aux_datasets import Eth3dDataset, EurocDataset
+        from .folder import FolderDataset
+
+        cls = {"euroc": EurocDataset, "eth3d": Eth3dDataset}.get(name)
+        if cls is None:
+            return FolderDataset(
+                data_cfg["in_path"], data_cfg["height"], data_cfg["width"],
+                intrinsics=data_cfg.get("intrinsics", "kitti"),
+            )
+        return cls(
+            data_cfg["in_path"], data_cfg["height"], data_cfg["width"],
+            frame_ids=tuple(data_cfg.get("frame_ids", (0, -1, 1))),
+            is_train=training,
+        )
+
     split_dir = data_cfg.get("split_dir")
     if split_dir is None:
         raise ValueError(
@@ -57,6 +78,17 @@ def get_dataset(data_cfg, training: bool = True, with_sdf: bool = False,
             "(e.g. the reference's mono/datasets/splits)"
         )
     filenames = readlines(split_file(split_dir, data_cfg["split"], training))
+
+    if name == "cityscape":
+        from .aux_datasets import CityscapesDataset
+
+        return CityscapesDataset(
+            data_cfg["in_path"], filenames, data_cfg["height"],
+            data_cfg["width"],
+            frame_ids=tuple(data_cfg.get("frame_ids", (0, -1, 1))),
+            is_train=training,
+            img_ext=".png" if data_cfg.get("png", True) else ".jpg",
+        )
 
     common = dict(
         data_path=data_cfg["in_path"],
@@ -68,6 +100,11 @@ def get_dataset(data_cfg, training: bool = True, with_sdf: bool = False,
         with_sdf=with_sdf,
         num_class=num_class,
     )
+    if name == "nuscenes":
+        from .aux_datasets import NuscenesDataset
+
+        return NuscenesDataset(
+            seg_class=data_cfg.get("seg_class", "vehicle"), **common)
     if dtype == "static":
         return KittiOdometry(
             raw_calib_root=data_cfg.get("raw_calib_root"), **common
