@@ -149,12 +149,50 @@ def patched(name):
     return restore
 
 
+def build_fwd_only(h=1024, batch_size=1):
+    """Forward + loss, no grad/optimizer — isolates the backward share."""
+    import jax
+    import jax.numpy as jnp
+
+    from jperceiver_tpu.losses import compute_losses, total_loss
+
+    _, state, batch = build(h, batch_size)
+
+    from jperceiver_tpu.config import Config
+    from jperceiver_tpu.models import JPerceiver
+
+    w = h
+    occ = 256 if h >= 1024 else h // 4
+    model = JPerceiver(height=h, width=w, occ_map_size=occ)
+    cfg = Config.fromdict(dict(
+        type="static", split="odometry", frame_ids=[0, -1, 1],
+        scales=[0, 1, 2, 3], height=h, width=w, occ_map_size=occ,
+        num_class=2, min_depth=0.1, max_depth=100.0, automask=True,
+        disp_norm=True, smoothness_weight=1e-3, scale_weight=0.1,
+        static_weight=5.0, dynamic_weight=15.0, loss_type="iou",
+        loss_sum=3, loss_weight=20, loss2_weight=20, loss_weightS=20,
+        loss2_weightS=20, cgt_label_hw=(375, 1242)))
+
+    @jax.jit
+    def fwd(state, batch, rng):
+        out, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+        ld = compute_losses(out, batch, cfg, rng)
+        return state, {"loss": total_loss(ld)}
+
+    return fwd, state, batch
+
+
 def main():
     names = sys.argv[1:] or ["full", "no_cgt", "no_ssim", "no_warp", "no_photo"]
     for name in names:
-        restore = patched(name)
+        restore = patched(name) if name != "fwd_only" else (lambda: None)
         try:
-            step, state, batch = build()
+            if name == "fwd_only":
+                step, state, batch = build_fwd_only()
+            else:
+                step, state, batch = build()
             ms, compile_s = timeit(step, state, batch)
             print(json.dumps(dict(ablation=name, step_ms=round(ms, 1),
                                   compile_s=round(compile_s, 1))), flush=True)

@@ -508,6 +508,49 @@ def export_torch_baseline(params, batch_stats) -> dict:
     return out
 
 
+def apply_pretrained_encoders(state, model_cfg):
+    """ImageNet-pretrained trunk init from `.pth` files, config-driven.
+
+    Honors the reference's `depth_pretrained_path` / `pose_pretrained_path`
+    knobs (`config/cfg_kitti_baseline.py:9-10`, consumed at
+    `depth_encoder.py:24-26` / `pose_encoder.py:47`) plus an optional
+    `layout_pretrained_path` standing in for torchvision's downloaded
+    weights in the layout trunk (`ResnetEncoder.py:69-110`, pretrained=True
+    — impossible in a zero-egress environment, so it is a file here too;
+    defaults to the depth path).
+    """
+    depth = int(model_cfg.get("depth_num_layers", 18))
+    pose = int(model_cfg.get("pose_num_layers", 18))
+    jobs = []
+    d_path = model_cfg.get("depth_pretrained_path")
+    if d_path:
+        jobs.append((d_path, depth, 1, ("depth_encoder", "encoder")))
+    p_path = model_cfg.get("pose_pretrained_path")
+    if p_path:
+        jobs.append((p_path, pose, 2, ("pose_encoder", "encoder")))
+    l_path = model_cfg.get("layout_pretrained_path", d_path)
+    if l_path:
+        jobs.append((l_path, depth, 1, ("layout_encoder", "resnet_encoder")))
+    if not jobs:
+        return state
+
+    params, stats = state.params, state.batch_stats
+    for path, n_layers, n_images, tree_path in jobs:
+        p, s = load_torch_resnet_file(path, n_layers, n_images)
+        wrap_p: dict = {}
+        wrap_s: dict = {}
+        _set(wrap_p, tree_path, p)
+        _set(wrap_s, tree_path, s)
+        params, n_loaded, skipped = _merge_matching(params, wrap_p)
+        stats, _, _ = _merge_matching(stats, wrap_s)
+        if skipped:
+            raise ValueError(
+                f"pretrained init from {path}: {len(skipped)} mismatched "
+                f"leaves, e.g. {skipped[:3]}"
+            )
+    return state.replace(params=params, batch_stats=stats)
+
+
 def load_torch_baseline_file(path: str, state, depth: int = 18):
     """Load a reference-format `.pth` Baseline checkpoint into a train state.
 

@@ -92,6 +92,7 @@ class EvalHook:
 
         fwd_time = 0.0
         n_imgs = 0
+        n_valid = 0
         for bi, batch in enumerate(self.loader):
             if self.max_batches is not None and bi >= self.max_batches:
                 break
@@ -105,6 +106,7 @@ class EvalHook:
             jax.block_until_ready(out["disp/0"])
             fwd_time += time.perf_counter() - t0
             n_imgs += int(jbatch["color"].shape[0])
+            n_valid += int(np.asarray(valid).sum())
             disp = np.asarray(out["disp/0"])[..., 0]
 
             if self.with_depth and gt_depth is not None:
@@ -149,18 +151,26 @@ class EvalHook:
             keys = DEPTH_KEYS + [
                 "road_iou", "road_map", "vehicle_iou", "vehicle_map"]
             sums = np.asarray(
-                [summary.get(k, 0.0) * counts.get(k, 0) for k in keys])
-            ns = np.asarray([counts.get(k, 0) for k in keys], np.float64)
+                [summary.get(k, 0.0) * counts.get(k, 0) for k in keys]
+                + [float(n_valid)])
+            ns = np.asarray([counts.get(k, 0) for k in keys] + [1.0],
+                            np.float64)
             gathered = multihost_utils.process_allgather(
                 np.concatenate([sums, ns])
             )
-            gathered = gathered.reshape(jax.process_count(), 2, len(keys))
+            gathered = gathered.reshape(jax.process_count(), 2, len(keys) + 1)
             tot = gathered[:, 0].sum(0)
             n = gathered[:, 1].sum(0)
             summary = {
                 k: float(tot[i] / n[i])
                 for i, k in enumerate(keys) if n[i] > 0
             }
+            n_valid = int(tot[len(keys)])
+        # Exactness invariant: with rank-strided sharding + padded-tail
+        # masking every dataset sample is evaluated exactly once, so this
+        # equals len(dataset) (the reference's `range(rank, N, world)`
+        # guarantee, `eval_hooks.py:128`).
+        summary["n_eval_samples"] = n_valid
         if fwd_time > 0:
             # Local FPS counter, parity with `eval_hooks.py:142-146,246`.
             summary["fps"] = n_imgs / fwd_time

@@ -90,6 +90,14 @@ def main(argv=None):
     sample = {k: jnp.asarray(v) for k, v in sample.items()}
     state = create_train_state(model, tx, sample, jax.random.key(args.seed or 0))
 
+    if any(model_cfg.get(k) for k in
+           ("depth_pretrained_path", "pose_pretrained_path",
+            "layout_pretrained_path")):
+        from ..engine.checkpoint import apply_pretrained_encoders
+
+        state = apply_pretrained_encoders(state, model_cfg)
+        logger.info("initialized encoder trunks from pretrained .pth files")
+
     start_epoch = 0
     if cfg.get("resume_from"):
         state, start_epoch = restore_checkpoint(cfg.resume_from, state)

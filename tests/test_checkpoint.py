@@ -1,5 +1,7 @@
 """Torch weight import parity + Orbax save/restore round-trip."""
 
+import sys
+
 import numpy as np
 import pytest
 import torch
@@ -189,3 +191,51 @@ def test_finetune_nonstrict_partial_load(tmp_path):
     kept = np.asarray(sB2.params["cvp"]["transform_module"]["fc1"]["kernel"])
     init = np.asarray(sB.params["cvp"]["transform_module"]["fc1"]["kernel"])
     np.testing.assert_array_equal(kept, init)
+
+
+def test_apply_pretrained_encoders(tmp_path):
+    """Config-driven ImageNet trunk init (`cfg_kitti_baseline.py:9-10`)."""
+    import optax
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from jperceiver_tpu.engine.checkpoint import apply_pretrained_encoders
+    from jperceiver_tpu.engine.train_state import create_train_state
+    from jperceiver_tpu.models import JPerceiver
+
+    sys.path.insert(0, "/root/repo/tests")
+    from ref_torch import load_ref
+
+    torch.manual_seed(3)
+    resnet = load_ref("resnet")
+    net = resnet.ResNet(resnet.BasicBlock, [2, 2, 2, 2])
+    path = str(tmp_path / "resnet18.pth")
+    torch.save(net.state_dict(), path)
+
+    model = JPerceiver(height=128, width=128, occ_map_size=32)
+    batch = {
+        "color_aug": jnp.zeros((1, 3, 128, 128, 3), jnp.float32),
+    }
+    state = create_train_state(model, optax.adam(1e-4), batch, jax.random.key(0))
+    before = np.asarray(state.params["depth_encoder"]["encoder"]["conv1"]["kernel"])
+
+    cfg = dict(depth_num_layers=18, pose_num_layers=18,
+               depth_pretrained_path=path, pose_pretrained_path=path)
+    state = apply_pretrained_encoders(state, cfg)
+
+    w_ref = net.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    got_d = np.asarray(state.params["depth_encoder"]["encoder"]["conv1"]["kernel"])
+    got_l = np.asarray(
+        state.params["layout_encoder"]["resnet_encoder"]["conv1"]["kernel"])
+    got_p = np.asarray(state.params["pose_encoder"]["encoder"]["conv1"]["kernel"])
+    assert not np.allclose(got_d, before)
+    np.testing.assert_allclose(got_d, w_ref, atol=1e-7)
+    np.testing.assert_allclose(got_l, w_ref, atol=1e-7)  # layout defaults to depth path
+    # pose conv1: 2x tiled / 2 (`pose_encoder.py:47`)
+    np.testing.assert_allclose(got_p, np.concatenate([w_ref] * 2, axis=2) / 2, atol=1e-7)
+    # BN running stats imported too
+    np.testing.assert_allclose(
+        np.asarray(state.batch_stats["depth_encoder"]["encoder"]["bn1"]["mean"]),
+        net.state_dict()["bn1.running_mean"].numpy(), atol=1e-7)

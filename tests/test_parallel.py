@@ -17,6 +17,8 @@ from jperceiver_tpu.engine import build_optimizer, create_train_state, make_trai
 from jperceiver_tpu.models import JPerceiver
 from jperceiver_tpu.parallel import make_mesh, shard_batch
 
+pytestmark = pytest.mark.slow
+
 
 def _cfg(h=128, w=128, s=32):
     return Config.fromdict(dict(

@@ -21,6 +21,8 @@ from jperceiver_tpu.losses.cgt import cgt_scale_label
 from jperceiver_tpu.ops.geometry import backproject, project
 from jperceiver_tpu.ops.sampling import grid_sample
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def scene():

@@ -26,6 +26,8 @@ from jperceiver_tpu.models import JPerceiver
 
 from ref_torch import load_ref
 
+pytestmark = pytest.mark.slow
+
 H = W = 128
 OCC = 32  # occ/32 == H/128 == 1: every weight exercised, smallest compile
 

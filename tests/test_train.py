@@ -17,6 +17,8 @@ from jperceiver_tpu.engine import (
 from jperceiver_tpu.models import JPerceiver
 from jperceiver_tpu.parallel import make_mesh, shard_batch
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg(h=128, w=128, s=32, loss_sum=1):
     return Config.fromdict(
