@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..losses.multitask import compute_losses, total_loss
-from ..parallel.mesh import data_sharding, make_mesh
+from ..parallel.mesh import make_mesh
 
 
 def make_train_step(model, cfg, donate: bool = True) -> Callable:
@@ -104,12 +104,11 @@ class Trainer:
         # steps 10..14 of the first epoch lands in profile_dir when set.
         self.profile_dir = profile_dir
         self.train_step = make_train_step(model, cfg)
-        self._batch_sharding = data_sharding(self.mesh)
 
     def _shard(self, batch):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), self._batch_sharding), batch
-        )
+        from ..parallel import shard_batch
+
+        return shard_batch(self.mesh, batch)
 
     def _prefetch(self, it, n_steps: int):
         """Overlap host decode + H2D transfer with device compute.

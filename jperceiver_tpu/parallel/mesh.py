@@ -40,9 +40,26 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place every array in the batch with its leading dim over `data`."""
+def shard_batch(mesh: Mesh, batch, process_local: bool | None = None):
+    """Place every array in the batch with its leading dim over `data`.
+
+    Single-process: a plain device_put of the global batch. Multi-process:
+    each host's loader yields only its rank-strided shard
+    (`data/loader.py`), so the global array is assembled with
+    `make_array_from_process_local_data` — a device_put of the local batch
+    against the global sharding would misinterpret it as the global batch.
+    """
     sharding = data_sharding(mesh)
+    if process_local is None:
+        process_local = jax.process_count() > 1
+    if process_local:
+        import numpy as _np
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, _np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
