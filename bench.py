@@ -18,6 +18,14 @@ achieves 10-25%% of A100 TF32 throughput => ~8 frames/s/GPU.
 Timing methodology: `block_until_ready` is a no-op on the tunnelled TPU
 platform, so the loop chains donated train states and fetches one scalar
 loss at the end — the data dependency forces the whole chain.
+
+Config selection (benchmarks/sweep.py, round 2): bfloat16 compute with
+fp32 pose/geometry/losses at B=1 is the single-chip optimum — 5.1 f/s vs
+4.2 fp32. Gradient-checkpointing (remat) LOSES on this chip (B=2 remat =
+2.2 f/s: recompute is expensive when compute-bound); B>=2 un-remat'd
+OOMs/thrashes 16 GB HBM. Chip roofline (benchmarks/roofline.py): 103
+TFLOP/s matmul, 14-32 TFLOP/s conv (channel-depth dependent), 325 GB/s
+HBM, 124M gather-rows/s.
 """
 
 from __future__ import annotations
@@ -30,8 +38,15 @@ BASELINE_FPS = 8.0  # estimated PyTorch per-A100 frames/s at this config
 
 
 def main() -> None:
+    import os as _os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
+    )
 
     from jperceiver_tpu.config import Config
     from jperceiver_tpu.data import synthetic_batch
@@ -45,6 +60,7 @@ def main() -> None:
     # (XLA force-remats; un-remat'd B=3 crashes the worker). Multi-chip DP
     # scales the global batch across the mesh instead.
     batch_size = 2 if quick else 1
+    import jax.numpy as _jnp
 
     cfg = Config.fromdict(
         dict(
@@ -60,7 +76,8 @@ def main() -> None:
             lr_config=dict(policy="step", warmup=None, step=[50]),
         )
     )
-    model = JPerceiver(height=h, width=w, occ_map_size=occ)
+    model = JPerceiver(height=h, width=w, occ_map_size=occ,
+                       dtype=_jnp.bfloat16)
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(batch_size, h, w, occ).items()}
     tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
     state = create_train_state(model, tx, batch, jax.random.key(0))
@@ -85,10 +102,14 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"train_fps_per_chip_{h}x{w}_b{batch_size}",
+                "metric": f"train_fps_per_chip_{h}x{w}_b{batch_size}_bf16",
                 "value": round(fps, 3),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                # The denominator is an ESTIMATE (the reference publishes no
+                # throughput; see module docstring), flagged per VERDICT r1.
+                "baseline_is_estimate": True,
+                "baseline_fps_per_gpu_est": BASELINE_FPS,
             }
         )
     )

@@ -47,7 +47,7 @@ def _scale_loss(depth_pred, scale_label, model_type: str) -> jax.Array:
 
 
 def _warped_frames_all(outputs, batch, scales, frame_ids, height, width,
-                       min_depth, max_depth):
+                       min_depth, max_depth, tap_dtype=None):
     """Monodepth2 image synthesis for every scale (`net.py:690-702`).
 
     Numerically identical to the reference's per-scale loop, but each
@@ -74,7 +74,8 @@ def _warped_frames_all(outputs, batch, scales, frame_ids, height, width,
     for i, f in enumerate(frame_ids[1:], start=1):
         stacked = jnp.stack([g[f] for g in grids], axis=1)  # (B,S,H,W,2)
         preds[f] = grid_sample_multi(
-            batch["color"][:, i], stacked, padding_mode="border"
+            batch["color"][:, i], stacked, padding_mode="border",
+            tap_dtype=tap_dtype,
         )
     return preds
 
@@ -176,9 +177,17 @@ def compute_losses(
     scale_weight = float(cfg.get("scale_weight", 0.1))
     n_scales = len(scales)
 
+    # Warp taps in bfloat16 by default: sources are 8-bit images, so the
+    # 1/255 quantization already dominates bf16's ~0.4% error; halves the
+    # gather traffic and the saved-for-backward residuals. cfg knob
+    # `warp_tap_dtype` in {"bfloat16", "float32"}.
+    import jax.numpy as _jnp
+
+    tap_dtype = {"bfloat16": _jnp.bfloat16, "float32": None}[
+        cfg.get("warp_tap_dtype", "bfloat16")]
     all_preds = _warped_frames_all(
         outputs, batch, scales, frame_ids, height, width,
-        cfg.min_depth, cfg.max_depth,
+        cfg.min_depth, cfg.max_depth, tap_dtype=tap_dtype,
     )
     # Identity reprojection is scale-invariant — compute once per frame
     # (the reference recomputes the same value each scale; only the 1e-5

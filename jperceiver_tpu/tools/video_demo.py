@@ -38,6 +38,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpointB", default=None,
+                   help="optional second checkpoint whose VEHICLE branch "
+                        "replaces topviewB (the reference KITTI demo runs a "
+                        "road model + a separate vehicle model, "
+                        "eval_kitti_video.py:234-244)")
     p.add_argument("--images", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--fps", type=float, default=10.0)
@@ -64,6 +69,11 @@ def main(argv=None):
     tx, _ = build_optimizer(cfg, 1000)
     state = create_train_state(model, tx, dummy, jax.random.key(0))
     state = load_weights(args.checkpoint, state)
+    state_b = None
+    if args.checkpointB:
+        state_b = load_weights(args.checkpointB,
+                               create_train_state(model, tx, dummy,
+                                                  jax.random.key(0)))
 
     @jax.jit
     def predict(state, prev_img, cur_img):
@@ -96,6 +106,8 @@ def main(argv=None):
     for f in frames[1:]:
         cur = load(f)
         disp, top, topB, T = predict(state, jnp.asarray(prev), jnp.asarray(cur))
+        if state_b is not None:  # vehicle branch from the second model
+            _, _, topB, _ = predict(state_b, jnp.asarray(prev), jnp.asarray(cur))
         traj.append(traj[-1] @ np.linalg.inv(np.asarray(T)[0]))
         prev = cur
 

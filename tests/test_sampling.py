@@ -106,3 +106,18 @@ def test_grid_sample_multi_equals_stacked(rng):
     for s in range(4):
         single = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grids[:, s])))
         np.testing.assert_array_equal(multi[:, s], single)
+
+
+def test_grid_sample_bf16_taps_close_to_exact(rng):
+    """The warp_tap_dtype=bfloat16 fast path: taps quantized to bf16 must
+    stay within ~8-bit-image tolerance of the exact fp32 warp."""
+    import jax.numpy as jnp
+
+    from jperceiver_tpu.ops.sampling import grid_sample
+
+    img = (rng.integers(0, 256, (2, 24, 32, 3)) / 255.0).astype(np.float32)
+    grid = rng.uniform(-1.1, 1.1, (2, 16, 20, 2)).astype(np.float32)
+    exact = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    fast = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                  tap_dtype=jnp.bfloat16))
+    np.testing.assert_allclose(fast, exact, atol=5e-3)
