@@ -137,6 +137,92 @@ def patched(name):
 
         mt.topview_seg_loss = fake_seg
         undo.append(lambda: setattr(mt, "topview_seg_loss", orig))
+    elif name == "no_pose":
+        from jperceiver_tpu.models.jperceiver import JPerceiver
+
+        orig = JPerceiver.predict_poses
+
+        def fake_poses(self, color_aug, train=False):
+            b = color_aug.shape[0]
+            eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+            return {f"cam_T_cam/{f}": eye for f in self.frame_ids[1:] if f != "s"}
+
+        JPerceiver.predict_poses = fake_poses
+        undo.append(lambda: setattr(JPerceiver, "predict_poses", orig))
+    elif name == "no_layout":
+        from jperceiver_tpu.models.jperceiver import JPerceiver
+
+        orig = JPerceiver._layout_branch
+
+        def fake_branch(self, enc_feat, depth_feat, cvp, cct, dec, tdec, train):
+            b = enc_feat.shape[0]
+            s = self.occ_map_size
+            z = jnp.zeros((b, s, s, self.num_class), jnp.float32)
+            f = jnp.zeros_like(enc_feat)
+            return {"topview": z, "transform_topview": z, "features": f,
+                    "retransform_features": f,
+                    "cv_attn": jnp.zeros((b, s // 32, s // 32, 1)),
+                    "cm_attn": jnp.zeros((b, s // 32, s // 32, 1))}
+
+        JPerceiver._layout_branch = fake_branch
+        undo.append(lambda: setattr(JPerceiver, "_layout_branch", orig))
+    elif name == "no_decoder":
+        from jperceiver_tpu.models import depth_net
+
+        orig = depth_net.DepthDecoder.__call__
+
+        def fake_dec(self, feats, train=False):
+            b = feats[0].shape[0]
+            h2, w2 = feats[0].shape[1], feats[0].shape[2]
+            mk = lambda hh, ww: jnp.full((b, hh, ww, 1), 0.5, feats[0].dtype)
+            return {"disp/0": mk(h2, w2), "disp/1": mk(h2 // 2, w2 // 2),
+                    "disp/2": mk(h2 // 4, w2 // 4), "disp/3": mk(h2 // 8, w2 // 8)}
+
+        depth_net.DepthDecoder.__call__ = fake_dec
+        undo.append(lambda: setattr(depth_net.DepthDecoder, "__call__", orig))
+    elif name == "no_resize":
+        orig = mt.resize_bilinear
+
+        def fake_resize(img, h, w):
+            m = jnp.mean(img, axis=(1, 2), keepdims=True)
+            return jnp.broadcast_to(m, (img.shape[0], h, w, img.shape[-1]))
+
+        mt.resize_bilinear = fake_resize
+        undo.append(lambda: setattr(mt, "resize_bilinear", orig))
+    elif name == "no_opt":
+        import jperceiver_tpu.engine.trainer as tr
+
+        orig = tr.make_train_step
+
+        def make_step_no_opt(model, cfg, donate=True):
+            import jax as _jax
+
+            def step(state, batch, rng):
+                d_rng, l_rng = _jax.random.split(
+                    _jax.random.fold_in(rng, state.step))
+
+                def loss_fn(params):
+                    out, mut = model.apply(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        batch, train=True, rngs={"dropout": d_rng},
+                        mutable=["batch_stats"])
+                    ld = mt.compute_losses(out, batch, cfg, l_rng)
+                    return mt.total_loss(ld), ld
+
+                (loss, ld), grads = _jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                return state, {"loss": loss + 0.0 * tr.optax_global_norm(grads)}
+
+            return _jax.jit(step, donate_argnums=(0,) if donate else ())
+
+        tr.make_train_step = make_step_no_opt
+        # build() imports via jperceiver_tpu.engine, patch there too
+        import jperceiver_tpu.engine as eng
+
+        eng_orig = eng.make_train_step
+        eng.make_train_step = make_step_no_opt
+        undo.append(lambda: setattr(tr, "make_train_step", orig))
+        undo.append(lambda: setattr(eng, "make_train_step", eng_orig))
     elif name == "full":
         pass
     else:

@@ -216,3 +216,32 @@ def test_loader_worker_error_surfaces(fake_odom):
     dl = DataLoader(Broken(), batch_size=1, shuffle=False, num_workers=1)
     with pytest.raises(RuntimeError, match="worker failed"):
         list(dl)
+
+
+def test_make_splits_cli(tmp_path):
+    """Split-list + gt_pose generation (the reference ships these as files)."""
+    import numpy as np
+
+    from jperceiver_tpu.tools.make_splits import main as make_splits
+
+    # odometry tree: two sequences with road labels
+    for seq in ("00", "09"):
+        d = tmp_path / "seq" / seq / "road_dense128"
+        d.mkdir(parents=True)
+        for i in range(3):
+            (d / f"{i:06d}.png").write_bytes(b"x")
+    make_splits(["odometry", "--data", str(tmp_path / "seq"),
+                 "--train_seqs", "00", "--val_seqs", "09",
+                 "--out", str(tmp_path / "splits")])
+    train = (tmp_path / "splits/odometry/train_files.txt").read_text().splitlines()
+    val = (tmp_path / "splits/odometry/val_files.txt").read_text().splitlines()
+    assert len(train) == 3 and train[0] == "00/road_dense128/000000.png"
+    assert len(val) == 3 and val[0].startswith("09/")
+
+    # gt_pose passthrough
+    poses = tmp_path / "poses"
+    poses.mkdir()
+    np.savetxt(poses / "09.txt", np.eye(4)[:3].reshape(1, 12))
+    make_splits(["gt_pose", "--data", str(poses),
+                 "--out", str(tmp_path / "gt_pose")])
+    assert (tmp_path / "gt_pose/09.txt").exists()
