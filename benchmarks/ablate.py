@@ -223,6 +223,64 @@ def patched(name):
         eng.make_train_step = make_step_no_opt
         undo.append(lambda: setattr(tr, "make_train_step", orig))
         undo.append(lambda: setattr(eng, "make_train_step", eng_orig))
+    elif name == "stop_grad_warp":
+        # identical forward values; kills ONLY the photometric gradient
+        # chain through the warp grids (d grid -> depth/pose).
+        orig = mt._warped_frames_all
+
+        def sg_warp(outputs, batch, scales, frame_ids, height, width,
+                    min_depth, max_depth, tap_dtype=None):
+            import jax as _jax
+
+            outputs_sg = {
+                k: (_jax.lax.stop_gradient(v) if str(k).startswith("disp")
+                    or str(k).startswith("cam_T_cam") else v)
+                for k, v in outputs.items()
+            }
+            return orig(outputs_sg, batch, scales, frame_ids, height, width,
+                        min_depth, max_depth, tap_dtype)
+
+        mt._warped_frames_all = sg_warp
+        undo.append(lambda: setattr(mt, "_warped_frames_all", orig))
+    elif name == "no_encoders":
+        # Replace the ResNet trunks (depth + layout encoders) with cheap
+        # pooled stand-ins of the right shapes — sizes the encoder convs.
+        from jperceiver_tpu.models import resnet as rn
+
+        orig = rn.ResNet.__call__
+
+        def fake_resnet(self, x, train=False):
+            import jax.numpy as _jnp
+
+            b, h, w, _ = x.shape
+            feats = []
+            chans = self.num_ch_enc
+            for i, c in enumerate(chans):
+                hh, ww = h // (2 ** (i + 1)), w // (2 ** (i + 1))
+                pooled = _jnp.mean(
+                    x.reshape(b, hh, h // hh, ww, w // ww, x.shape[-1]),
+                    axis=(2, 4))
+                feats.append(_jnp.broadcast_to(
+                    pooled.mean(-1, keepdims=True), (b, hh, ww, c)
+                ).astype(self.dtype))
+            return feats
+
+        rn.ResNet.__call__ = fake_resnet
+        undo.append(lambda: setattr(rn.ResNet, "__call__", orig))
+    elif name == "no_crp_pool":
+        # Replace the 16 CRP 5x5/s1 max-pools with identity — sizes the
+        # pooling (fwd + custom equality-mask bwd) inside the decoder.
+        from jperceiver_tpu.models import common as cm
+
+        import jperceiver_tpu.ops.pallas.maxpool as mp
+
+        orig = mp.max_pool_5x5_s1
+
+        def fake_pool(x):
+            return x
+
+        mp.max_pool_5x5_s1 = fake_pool
+        undo.append(lambda: setattr(mp, "max_pool_5x5_s1", orig))
     elif name == "full":
         pass
     else:

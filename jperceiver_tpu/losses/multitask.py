@@ -189,29 +189,46 @@ def compute_losses(
         outputs, batch, scales, frame_ids, height, width,
         cfg.min_depth, cfg.max_depth, tap_dtype=tap_dtype,
     )
-    # Identity reprojection is scale-invariant — compute once per frame
+    # Photometric terms, batched: identity reprojection is scale-invariant
     # (the reference recomputes the same value each scale; only the 1e-5
-    # automask noise is drawn per (scale, frame), preserved below).
-    ident_losses = {}
+    # automask noise is per (scale, frame), preserved below), and ALL
+    # SSIM/Charbonnier evaluations — F identity pairs + S*F warped pairs —
+    # ride ONE batched pass so the window stats run as a handful of fat ops
+    # instead of 10 small per-pair chains.
+    fids = list(frame_ids[1:])
+    n_f = len(fids)
+    b = target.shape[0]
+    ident = jnp.stack(
+        [batch["color"][:, i] for i in range(1, n_f + 1)], axis=1
+    )  # (B, F, H, W, 3)
+    warps = jnp.stack([all_preds[f] for f in fids], axis=2)  # (B,S,F,H,W,3)
+    n_pairs = n_f + n_scales * n_f
+    preds_flat = jnp.concatenate(
+        [ident, warps.reshape(b, n_scales * n_f, height, width, 3)], axis=1
+    ).reshape(b * n_pairs, height, width, 3)
+    target_flat = jnp.broadcast_to(
+        target[:, None], (b, n_pairs, height, width, 3)
+    ).reshape(b * n_pairs, height, width, 3)
+    rl = reprojection_loss(preds_flat, target_flat).reshape(
+        b, n_pairs, height, width)
+    ident_l = rl[:, :n_f]  # (B, F, H, W)
+    warp_l = rl[:, n_f:].reshape(b, n_scales, n_f, height, width)
     if automask:
-        for i, f in enumerate(frame_ids[1:], start=1):
-            ident_losses[f] = reprojection_loss(batch["color"][:, i], target)
+        # iid noise per (scale, frame, pixel), like the reference's
+        # per-iteration torch.randn (`net.py:163`); one fused draw.
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(
+            sub, (b, n_scales, n_f, height, width), ident_l.dtype) * 1e-5
 
     for si, scale in enumerate(scales):
         disp = outputs[f"disp/{scale}"]
         _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
 
-        reproj = []
+        per_scale = warp_l[:, si]
         if automask:
-            for f in frame_ids[1:]:
-                rng, sub = jax.random.split(rng)
-                ident = ident_losses[f]
-                ident = ident + jax.random.normal(sub, ident.shape, ident.dtype) * 1e-5
-                reproj.append(ident)
-        for f in frame_ids[1:]:
-            reproj.append(reprojection_loss(all_preds[f][:, si], target))
-        stacked = jnp.concatenate(reproj, axis=-1)
-        min_reconstruct = stacked.min(axis=-1)
+            per_scale = jnp.concatenate(
+                [ident_l + noise[:, si], per_scale], axis=1)
+        min_reconstruct = per_scale.min(axis=1)
         loss[f"min_reconstruct_loss/{scale}"] = min_reconstruct.mean() / n_scales
 
         loss[f"scale_loss/{scale}"] = (

@@ -9,8 +9,7 @@ import jax
 import jax.numpy as jnp
 
 
-def reflect_pad(x: jax.Array, p: int = 1) -> jax.Array:
-    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+from ..ops.padding import reflect_pad  # noqa: F401 (re-export, legacy path)
 
 
 class ConvReflect3x3(nn.Module):

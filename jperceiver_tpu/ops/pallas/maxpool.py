@@ -48,32 +48,125 @@ def _pad_hw(x, value):
     )
 
 
+def _axis_max(x: jax.Array, axis: int) -> jax.Array:
+    """5-tap stride-1 SAME max along one spatial axis (NHWC axis 1 or 2)."""
+    pads = [(0, 0)] * 4
+    pads[axis] = (_P, _P)
+    xp = jnp.pad(x, pads, constant_values=-jnp.inf)
+    acc = x
+    for d in range(_K):
+        if d == _P:
+            continue
+        acc = jnp.maximum(acc, jax.lax.slice_in_dim(xp, d, d + x.shape[axis], axis=axis))
+    return acc
+
+
+def _axis_route(x, y, g, axis: int) -> jax.Array:
+    """Equality-mask gradient routing for one `_axis_max` stage.
+
+    dx[i] = sum_{j : i in win(j)} g[j] * (x[i] == y[j]) along `axis`.
+    """
+    pads = [(0, 0)] * 4
+    pads[axis] = (_P, _P)
+    yp = jnp.pad(y, pads, constant_values=-jnp.inf)
+    gp = jnp.pad(g, pads)
+    n = x.shape[axis]
+    acc = jnp.zeros_like(x)
+    for d in range(_K):
+        yj = jax.lax.slice_in_dim(yp, d, d + n, axis=axis)
+        gj = jax.lax.slice_in_dim(gp, d, d + n, axis=axis)
+        acc = acc + jnp.where(x == yj, gj, 0.0)
+    return acc
+
+
 @jax.custom_vjp
 def max_pool_5x5_s1(x: jax.Array) -> jax.Array:
-    """5x5 stride-1 SAME max-pool, NHWC, with the fast custom backward."""
-    return _pool_ref(x)
+    """5x5 stride-1 SAME max-pool, NHWC, with the fast custom backward.
+
+    Separable formulation: 5x5 max == rowmax5(colmax5(x)) bit-exactly, so
+    both the forward (10 vs 25 shifted maxes) and the equality-mask
+    backward (2x5 vs 25 routing shifts) run as two 1-D stages — about half
+    the HBM traffic of the 2-D form on the CRP hot shapes.
+    """
+    return _axis_max(_axis_max(x, 2), 1)
 
 
 def _mp_fwd(x):
-    y = _pool_ref(x)
-    return y, (x, y)
+    r = _axis_max(x, 2)
+    y = _axis_max(r, 1)
+    return y, (x, r, y)
 
 
 def _mp_bwd(res, g):
+    x, r, y = res
+    dr = _axis_route(r, y, g, 1)
+    dx = _axis_route(x, r, dr, 2)
+    return (dx,)
+
+
+max_pool_5x5_s1.defvjp(_mp_fwd, _mp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 3x3 stride-2 stem max-pool (ResNet stem, `resnet.py` conv1 -> maxpool).
+# XLA's backward for this lowers to select-and-scatter (~2.5 ms per encoder
+# at 512^2x64 on v5e); the equality-mask routing below is a fused stack of 9
+# shifted compares against the stride-2-dilated outputs instead.
+# ---------------------------------------------------------------------------
+
+
+def _pool3s2_ref(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def _dilate2(x: jax.Array, fill) -> jax.Array:
+    """Stride-2 scatter with halo: out[2j + 1] = x[j], `fill` elsewhere.
+
+    low=1/interior=1/high=2 padding in one lax.pad, so the backward's nine
+    shifted reads out[i + d], d in {0,1,2}, i in [0, h) are all in bounds.
+    """
+    cfg = [(0, 0, 0), (1, 2, 1), (1, 2, 1), (0, 0, 0)]
+    return jax.lax.pad(x, jnp.asarray(fill, x.dtype), cfg)
+
+
+@jax.custom_vjp
+def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """3x3 stride-2 SAME max-pool, NHWC, with equality-mask backward.
+
+    Tie semantics: gradients route to EVERY maximal element of a window
+    (torch/XLA pick one) — measure-zero difference on continuous
+    activations, verified equal on random inputs in the parity tests.
+    """
+    return _pool3s2_ref(x)
+
+
+def _mp3_fwd(x):
+    y = _pool3s2_ref(x)
+    return y, (x, y)
+
+
+def _mp3_bwd(res, g):
     x, y = res
     b, h, w, c = x.shape
-    yp = _pad_hw(y, -jnp.inf)  # halo never equals a real activation
-    gp = _pad_hw(g, 0)
+    # Window j covers input 2j + {-1,0,1}; on the dilated grid that window's
+    # (y, g) sit at position i - d for d in {-1,0,1}^2 relative to input i.
+    # Window j covers inputs 2j + {-1,0,1}; on the padded dilated grid y[j]
+    # sits at 2j + 1, so window j's (y, g) are read at i + dy, dy in {0,1,2}.
+    yd = _dilate2(y, -jnp.inf)
+    gd = _dilate2(g, 0)
     acc = jnp.zeros_like(x)
-    for dy in range(_K):
-        for dx in range(_K):
-            yj = jax.lax.dynamic_slice(yp, (0, dy, dx, 0), (b, h, w, c))
-            gj = jax.lax.dynamic_slice(gp, (0, dy, dx, 0), (b, h, w, c))
+    for dy in range(3):
+        for dx in range(3):
+            yj = jax.lax.slice(yd, (0, dy, dx, 0), (b, dy + h, dx + w, c))
+            gj = jax.lax.slice(gd, (0, dy, dx, 0), (b, dy + h, dx + w, c))
             acc = acc + jnp.where(x == yj, gj, 0.0)
     return (acc,)
 
 
-max_pool_5x5_s1.defvjp(_mp_fwd, _mp_bwd)
+max_pool_3x3_s2.defvjp(_mp3_fwd, _mp3_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -99,10 +99,41 @@ def grid_sample(
     downright = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
     patch = jnp.concatenate([src, right, down, downright], axis=-1)
 
-    idx = (y0i * sw + x0i).reshape(b, n)
-    g = jnp.take_along_axis(patch.reshape(b, sh * sw, 4 * c), idx[..., None], axis=1)
-    g = g.reshape(b, n, 4, c)
-    v00, v01, v10, v11 = g[:, :, 0], g[:, :, 1], g[:, :, 2], g[:, :, 3]
+    # Group 8 consecutive x-positions per gather row: v5e gathers wide rows
+    # far faster than narrow ones (measured in-program 7.8 ms vs 29.6 ms
+    # for the 4.2M-row photometric gather), because a 4C=12-lane row leaves
+    # 116/128 output lanes padding. Row = (8 x-positions) x 4C patch = 32C
+    # lanes; the within-row tap is selected afterwards by a fused 8-way
+    # masked sum. The shifted-copy patch construction keeps taps straddling
+    # a group boundary exact. Only a win for big row counts — small warps
+    # (CGT labels) lose to the select overhead and gather directly.
+    # mode="promise_in_bounds" everywhere: indices are clamped above, and
+    # the default OOB handling materializes a select + copy over the whole
+    # gather output (~10 ms at 1024^2).
+    grp = 8 if n >= (1 << 20) else 1
+    if grp > 1:
+        sw8 = -(-sw // grp)
+        if sw8 * grp != sw:
+            patch = jnp.pad(
+                patch, ((0, 0), (0, 0), (0, sw8 * grp - sw), (0, 0)))
+        patch = patch.reshape(b, sh * sw8, grp * 4 * c)
+        idx = (y0i * sw8 + x0i // grp).reshape(b, n)
+        sub = (x0i % grp).reshape(b, n, 1)
+        g = jnp.take_along_axis(patch, idx[..., None], axis=1,
+                                mode="promise_in_bounds")  # (B, N, 32C)
+        g4 = g[:, :, : 4 * c] * 0
+        for k in range(grp):
+            g4 = g4 + jnp.where(
+                sub == k, g[:, :, k * 4 * c:(k + 1) * 4 * c], 0)
+    else:
+        idx = (y0i * sw + x0i).reshape(b, n)
+        g4 = jnp.take_along_axis(
+            patch.reshape(b, sh * sw, 4 * c), idx[..., None], axis=1,
+            mode="promise_in_bounds")
+    # Slice the four taps out of the 4C lane dim (fused, layout-preserving)
+    # rather than reshaping to (B, N, 4, C) — that reshape re-tiles the 50M-
+    # element gather output and costs a physical copy per tap at 1024^2.
+    v00, v01, v10, v11 = (g4[:, :, i * c:(i + 1) * c] for i in range(4))
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx

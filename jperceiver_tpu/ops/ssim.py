@@ -15,19 +15,29 @@ _C1 = 0.01 ** 2
 _C2 = 0.03 ** 2
 
 
+def _win3(x: jax.Array, axis: int) -> jax.Array:
+    n = x.shape[axis] - 2
+    s0 = jax.lax.slice_in_dim(x, 0, n, axis=axis)
+    s1 = jax.lax.slice_in_dim(x, 1, n + 1, axis=axis)
+    s2 = jax.lax.slice_in_dim(x, 2, n + 2, axis=axis)
+    return s0 + s1 + s2
+
+
 def _avg_pool3(x: jax.Array) -> jax.Array:
-    """3x3/stride-1 mean over NHWC, VALID (caller pads)."""
-    s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
-    )
-    return s / 9.0
+    """3x3/stride-1 mean over NHWC, VALID (caller pads).
+
+    Separable two-pass form (row sums then column sums) — fuses into
+    shifted adds instead of a 9-tap reduce-window.
+    """
+    return _win3(_win3(x, 1), 2) / 9.0
 
 
 def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
     """(B,H,W,C) pair -> per-pixel SSIM dissimilarity in [0, 1]."""
-    pad = ((0, 0), (1, 1), (1, 1), (0, 0))
-    xp = jnp.pad(x, pad, mode="reflect")
-    yp = jnp.pad(y, pad, mode="reflect")
+    from .padding import reflect_pad
+
+    xp = reflect_pad(x, 1)
+    yp = reflect_pad(y, 1)
 
     mu_x = _avg_pool3(xp)
     mu_y = _avg_pool3(yp)

@@ -1,0 +1,79 @@
+"""Capture a jax.profiler trace of the training step.
+
+The reference's only "profiling" is a tick counter around eval forwards
+(`eval_hooks.py:142-146`); here the full jitted train step is traced with
+the XLA profiler (view in TensorBoard / xprof) plus a wall-clock summary.
+
+  python -m jperceiver_tpu.tools.profile_step --config cfg.py --out /tmp/trace \
+      [--steps 5] [--height 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None, help="preset path; default flagship")
+    p.add_argument("--out", required=True)
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--height", type=int, default=None,
+                   help="override input resolution (and occ=h//4)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import Config
+    from ..data import synthetic_batch
+    from ..engine import build_optimizer, create_train_state, make_train_step
+    from ..models import JPerceiver, build_model
+
+    if args.config:
+        cfg = Config.fromfile(args.config)
+        model_cfg = cfg.model
+        for key in ("type", "split"):
+            model_cfg.setdefault(key, cfg.data.get(key, "static"))
+        model = build_model(model_cfg)
+        h, w, occ = model_cfg.height, model_cfg.width, model_cfg.occ_map_size
+    else:
+        h = w = args.height or 1024
+        occ = h // 4
+        model_cfg = Config.fromdict(
+            dict(type="static", split="odometry", frame_ids=[0, -1, 1],
+                 scales=[0, 1, 2, 3], height=h, width=w, occ_map_size=occ,
+                 num_class=2, min_depth=0.1, max_depth=100.0,
+                 loss_type="iou", loss_sum=3, loss_weight=20, loss2_weight=20,
+                 optimizer=dict(type="Adam", lr=1e-4, weight_decay=0),
+                 optimizer_config=dict(grad_clip=dict(max_norm=35, norm_type=2)),
+                 lr_config=dict(policy="step", warmup=None, step=[50])))
+        model = JPerceiver(height=h, width=w, occ_map_size=occ,
+                           dtype=jnp.bfloat16)
+    if args.height:
+        h = w = args.height
+        occ = h // 4
+
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(1, h, w, occ).items()}
+    tx, _ = build_optimizer(model_cfg, 1000)
+    state = create_train_state(model, tx, batch, jax.random.key(0))
+    step = make_train_step(model, model_cfg)
+    rng = jax.random.key(1)
+
+    state, m = step(state, batch, rng)  # compile
+    float(m["loss"])
+
+    jax.profiler.start_trace(args.out)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, m = step(state, batch, rng)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+    print(f"traced {args.steps} steps, {dt / args.steps * 1e3:.1f} ms/step "
+          f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

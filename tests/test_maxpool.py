@@ -30,7 +30,11 @@ def test_backward_matches_xla_autodiff(rng):
 
     g_c = jax.grad(loss_custom)(x)
     g_r = jax.grad(loss_ref)(x)
-    np.testing.assert_array_equal(np.asarray(g_c), np.asarray(g_r))
+    # The separable backward sums each input's contributions grouped by
+    # axis (col-stage partial sums first), so fp32 reassociation introduces
+    # ulp-level differences vs the flat 25-term sum.
+    np.testing.assert_allclose(
+        np.asarray(g_c), np.asarray(g_r), rtol=1e-5, atol=1e-6)
 
 
 def test_backward_gradient_conservation(rng):
@@ -40,3 +44,25 @@ def test_backward_gradient_conservation(rng):
     dy_sum = float(jnp.sum(jnp.ones_like(x)))
     g = jax.grad(lambda x: jnp.sum(max_pool_5x5_s1(x)))(x)
     assert np.isclose(float(jnp.sum(g)), dy_sum)
+
+
+def test_stem_pool3s2_forward_matches_torch(rng):
+    from jperceiver_tpu.ops.pallas.maxpool import max_pool_3x3_s2
+
+    for h, w in [(16, 20), (17, 23)]:
+        x = rng.standard_normal((2, h, w, 8)).astype(np.float32)
+        ours = np.asarray(max_pool_3x3_s2(jnp.asarray(x)))
+        ref = F.max_pool2d(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))), 3, 2, 1
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_stem_pool3s2_backward_matches_xla(rng):
+    from jperceiver_tpu.ops.pallas.maxpool import _pool3s2_ref, max_pool_3x3_s2
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    g_c = jax.grad(lambda x: jnp.sum(max_pool_3x3_s2(x) ** 2))(x)
+    g_r = jax.grad(lambda x: jnp.sum(_pool3s2_ref(x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_r),
+                               rtol=1e-5, atol=1e-6)

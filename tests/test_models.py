@@ -120,3 +120,23 @@ def test_jperceiver_forward_contract():
     # Poses start near identity.
     T = np.asarray(out["cam_T_cam/1"])
     np.testing.assert_allclose(T[0], np.eye(4), atol=0.2)
+
+
+def test_stem_conv_matches_plain_conv():
+    """StemConv (space-to-depth 7x7/s2) == nn.Conv(7,7,s2,pad3) bitwise-ish."""
+    import flax.linen as nn
+    import numpy as np
+
+    from jperceiver_tpu.models.resnet import StemConv
+
+    rng = np.random.default_rng(7)
+    for h, w, c in [(32, 48, 3), (64, 64, 6)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+        stem = StemConv(64)
+        v = stem.init(jax.random.key(0), x)
+        ref = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False)
+        y1 = stem.apply(v, x)
+        y2 = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+        assert y1.shape == y2.shape
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5)
