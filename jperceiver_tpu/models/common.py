@@ -27,6 +27,50 @@ class ConvReflect3x3(nn.Module):
                        dtype=self.dtype, name="conv")(reflect_pad(x))
 
 
+class DispConv(nn.Module):
+    """Single-channel 3x3 prediction head, decomposed for the MXU.
+
+    Functionally `ConvReflect3x3(1)` with the identical param tree
+    (`conv/kernel` (3,3,C,1) + `conv/bias` (1,)). A C_out=1 3x3 conv is
+    hostile to the TPU in every direction (forward drives 1/128 MXU
+    columns, the weight-grad conv contracts to a single feature, the
+    data-grad conv reads a 1-channel cotangent at 1/128 lane use — 4.1 ms
+    fwd+bwd at 512^2 x 256). Reassociating the same linear map as
+        z = x_padded @ W.reshape(9, C).T        (one well-shaped matmul)
+        y[p] = sum_d z[p + offset_d, d]         (9 shifted scalar adds)
+    keeps every op dense; autodiff then yields two thin matmuls and a
+    shifted-broadcast backward instead of three degenerate convs.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # param-tree parity with ConvReflect3x3: nested "conv" module scope
+        return _DispConvInner(dtype=self.dtype, name="conv")(reflect_pad(x))
+
+
+class _DispConvInner(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        b, hp, wp, c = xp.shape
+        h, w = hp - 2, wp - 2
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c, 1), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
+        wc = kernel[..., 0].reshape(9, c).T  # (C, 9), d = ky*3 + kx
+        z = jnp.einsum("bhwc,cd->bhwd", xp.astype(self.dtype),
+                       wc.astype(self.dtype))
+        y = None
+        for ky in range(3):
+            for kx in range(3):
+                t = z[:, ky:ky + h, kx:kx + w, ky * 3 + kx]
+                y = t if y is None else y + t
+        return y[..., None] + bias.astype(y.dtype)
+
+
 class Conv1x1(nn.Module):
     features: int
     use_bias: bool = False

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.sampling import upsample2x_nearest
-from .common import Conv1x1, ConvReflect3x3, CRPBlock
+from .common import Conv1x1, ConvReflect3x3, CRPBlock, DispConv
 from .resnet import ResNet
 
 
@@ -51,7 +51,7 @@ class DepthDecoder(nn.Module):
             x = CRPBlock(bn, 4, self.dtype, name=f"crp{idx}")(x)
             x = lrelu(ConvReflect3x3(bn, self.dtype, name=f"merge{idx}")(x))
             x = upsample2x_nearest(x)
-            disp = nn.sigmoid(ConvReflect3x3(1, self.dtype, name=f"disp{idx}")(x))
+            disp = nn.sigmoid(DispConv(self.dtype, name=f"disp{idx}")(x))
             return x, disp
 
         x4 = Conv1x1(512, dtype=self.dtype, name="reduce4")(l4)

@@ -20,6 +20,20 @@ def _gather_pixels(img_flat: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(img_flat, idx[..., None], axis=1)
 
 
+def _take_rows(flat: jax.Array, idx: jax.Array) -> jax.Array:
+    """(M, K) rows at (N,) in-bounds indices -> (N, K).
+
+    lax.gather with PROMISE_IN_BOUNDS: `jnp.take`'s modes all insert an
+    index fixup or an OOB select over the full gather output.
+    """
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return jax.lax.gather(
+        flat, idx[:, None], dimension_numbers=dnums,
+        slice_sizes=(1, flat.shape[1]),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def grid_sample(
     img: jax.Array,
     grid: jax.Array,
@@ -80,8 +94,12 @@ def grid_sample(
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    wx = (fx - x0).reshape(b, n, 1).astype(dtype)
-    wy = (fy - y0).reshape(b, n, 1).astype(dtype)
+    # Everything below runs flat-2D (B*N rows): any (B, N, K) view of the
+    # 100-800 MB gather output makes XLA's layout assignment insert
+    # physical copies bridging the (N, K) gather layout (13 ms/step at
+    # 1024^2 measured); the batch dim is folded into the row index instead.
+    wx = (fx - x0).reshape(b * n, 1).astype(dtype)
+    wy = (fy - y0).reshape(b * n, 1).astype(dtype)
     x0i = jnp.clip(x0 + shift, 0, hi_x).astype(jnp.int32)
     y0i = jnp.clip(y0 + shift, 0, hi_y).astype(jnp.int32)
 
@@ -110,30 +128,33 @@ def grid_sample(
     # mode="promise_in_bounds" everywhere: indices are clamped above, and
     # the default OOB handling materializes a select + copy over the whole
     # gather output (~10 ms at 1024^2).
+    # The batch dim is folded into the row index and the gather runs as a
+    # flat axis-0 take: the batched (take_along_axis) form makes XLA bridge
+    # (N,K)->(B,N,K) layouts with two physical copies of the 800 MB gather
+    # output (6.4 ms/frame at 1024^2).
     grp = 8 if n >= (1 << 20) else 1
+    boff = (jnp.arange(b, dtype=jnp.int32) * sh)[:, None, None]  # row blocks
     if grp > 1:
         sw8 = -(-sw // grp)
         if sw8 * grp != sw:
             patch = jnp.pad(
                 patch, ((0, 0), (0, 0), (0, sw8 * grp - sw), (0, 0)))
-        patch = patch.reshape(b, sh * sw8, grp * 4 * c)
-        idx = (y0i * sw8 + x0i // grp).reshape(b, n)
-        sub = (x0i % grp).reshape(b, n, 1)
-        g = jnp.take_along_axis(patch, idx[..., None], axis=1,
-                                mode="promise_in_bounds")  # (B, N, 32C)
-        g4 = g[:, :, : 4 * c] * 0
+        flat = patch.reshape(b * sh * sw8, grp * 4 * c)
+        idx = ((y0i + boff) * sw8 + x0i // grp).reshape(b * n)
+        sub = (x0i % grp).reshape(b * n, 1)
+        g = _take_rows(flat, idx)  # (B*N, 32C)
+        g4 = g[:, : 4 * c] * 0
         for k in range(grp):
             g4 = g4 + jnp.where(
-                sub == k, g[:, :, k * 4 * c:(k + 1) * 4 * c], 0)
+                sub == k, g[:, k * 4 * c:(k + 1) * 4 * c], 0)
     else:
-        idx = (y0i * sw + x0i).reshape(b, n)
-        g4 = jnp.take_along_axis(
-            patch.reshape(b, sh * sw, 4 * c), idx[..., None], axis=1,
-            mode="promise_in_bounds")
+        flat = patch.reshape(b * sh * sw, 4 * c)
+        idx = ((y0i + boff) * sw + x0i).reshape(b * n)
+        g4 = _take_rows(flat, idx)  # (B*N, 4C)
     # Slice the four taps out of the 4C lane dim (fused, layout-preserving)
-    # rather than reshaping to (B, N, 4, C) — that reshape re-tiles the 50M-
+    # rather than reshaping to (B*N, 4, C) — that reshape re-tiles the 50M-
     # element gather output and costs a physical copy per tap at 1024^2.
-    v00, v01, v10, v11 = (g4[:, :, i * c:(i + 1) * c] for i in range(4))
+    v00, v01, v10, v11 = (g4[:, i * c:(i + 1) * c] for i in range(4))
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx

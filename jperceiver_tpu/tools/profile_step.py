@@ -23,8 +23,15 @@ def main(argv=None) -> None:
                    help="override input resolution (and occ=h//4)")
     args = p.parse_args(argv)
 
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"))
 
     from ..config import Config
     from ..data import synthetic_batch
@@ -41,11 +48,16 @@ def main(argv=None) -> None:
     else:
         h = w = args.height or 1024
         occ = h // 4
+        # Identical dict to bench.py's flagship config so the persistent
+        # compilation cache is shared between bench and profile runs.
         model_cfg = Config.fromdict(
             dict(type="static", split="odometry", frame_ids=[0, -1, 1],
                  scales=[0, 1, 2, 3], height=h, width=w, occ_map_size=occ,
-                 num_class=2, min_depth=0.1, max_depth=100.0,
-                 loss_type="iou", loss_sum=3, loss_weight=20, loss2_weight=20,
+                 num_class=2, min_depth=0.1, max_depth=100.0, automask=True,
+                 disp_norm=True, smoothness_weight=1e-3, scale_weight=0.1,
+                 static_weight=5.0, dynamic_weight=15.0, loss_type="iou",
+                 loss_sum=3, loss_weight=20, loss2_weight=20, loss_weightS=20,
+                 loss2_weightS=20, cgt_label_hw=(375, 1242),
                  optimizer=dict(type="Adam", lr=1e-4, weight_decay=0),
                  optimizer_config=dict(grad_clip=dict(max_norm=35, norm_type=2)),
                  lr_config=dict(policy="step", warmup=None, step=[50])))
