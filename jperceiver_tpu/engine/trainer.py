@@ -21,8 +21,15 @@ from ..losses.multitask import compute_losses, total_loss
 from ..parallel.mesh import make_mesh
 
 
-def make_train_step(model, cfg, donate: bool = True) -> Callable:
-    """Returns jitted `step(state, batch, rng) -> (state, metrics)`."""
+def make_train_step(model, cfg, donate: bool = True,
+                    out_shardings=None) -> Callable:
+    """Returns jitted `step(state, batch, rng) -> (state, metrics)`.
+
+    `out_shardings` (optional) pins the output placement — pass
+    `(zero1_state_shardings(mesh, state), NamedSharding(mesh, P()))` to
+    keep ZeRO-1-sharded optimizer moments sharded across steps (see
+    `parallel/mesh.py::zero1_state_shardings`).
+    """
 
     def step(state, batch, rng):
         dropout_rng, loss_rng = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -47,7 +54,8 @@ def make_train_step(model, cfg, donate: bool = True) -> Callable:
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   out_shardings=out_shardings)
 
 
 def optax_global_norm(tree) -> jax.Array:

@@ -63,3 +63,44 @@ def shard_batch(mesh: Mesh, batch, process_local: bool | None = None):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def zero1_state_shardings(mesh: Mesh, state, axis: str = "model"):
+    """ZeRO-1 shardings for a TrainState: optimizer moments sharded.
+
+    Params and batch stats stay replicated (they are read by every chip's
+    forward), while each Adam moment leaf is sharded along its largest
+    dimension divisible by the mesh `axis` size — the update then runs on
+    1/axis_size of the moment state per chip and XLA all-gathers only the
+    parameter delta over ICI. The reference has no analogue (DDP replicates
+    optimizer state per GPU, `mmcv.runner` + torch Adam).
+
+    Returns a pytree of NamedShardings matching `state`'s structure.
+    """
+    n_shard = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+
+    def moment_sharding(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return repl
+        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+        for d in dims:
+            if x.shape[d] % n_shard == 0 and x.shape[d] >= n_shard:
+                spec = [None] * x.ndim
+                spec[d] = axis
+                return NamedSharding(mesh, P(*spec))
+        return repl
+
+    def _entry_name(p):
+        for attr in ("name", "key", "idx"):
+            if hasattr(p, attr):
+                return str(getattr(p, attr))
+        return str(p)
+
+    def leaf_sharding(path, x):
+        names = [_entry_name(p) for p in path]
+        if "opt_state" in names and ("mu" in names or "nu" in names):
+            return moment_sharding(x)
+        return repl
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)
