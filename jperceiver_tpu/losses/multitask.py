@@ -198,37 +198,32 @@ def compute_losses(
     fids = list(frame_ids[1:])
     n_f = len(fids)
     b = target.shape[0]
-    ident = jnp.stack(
-        [batch["color"][:, i] for i in range(1, n_f + 1)], axis=1
-    )  # (B, F, H, W, 3)
-    warps = jnp.stack([all_preds[f] for f in fids], axis=2)  # (B,S,F,H,W,3)
-    n_pairs = n_f + n_scales * n_f
-    preds_flat = jnp.concatenate(
-        [ident, warps.reshape(b, n_scales * n_f, height, width, 3)], axis=1
-    ).reshape(b * n_pairs, height, width, 3)
-    target_flat = jnp.broadcast_to(
-        target[:, None], (b, n_pairs, height, width, 3)
-    ).reshape(b * n_pairs, height, width, 3)
-    rl = reprojection_loss(preds_flat, target_flat).reshape(
-        b, n_pairs, height, width)
-    ident_l = rl[:, :n_f]  # (B, F, H, W)
-    warp_l = rl[:, n_f:].reshape(b, n_scales, n_f, height, width)
+    # Pair-major stack (P, B, H, W, 3): the target rides in UNstacked as
+    # (B, H, W, 3) and broadcasts inside ssim/charbonnier, so its window
+    # statistics are computed once instead of P times.
+    pairs = [batch["color"][:, i] for i in range(1, n_f + 1)]
+    for si in range(n_scales):
+        pairs += [all_preds[f][:, si] for f in fids]
+    preds = jnp.stack(pairs, axis=0)
+    rl = reprojection_loss(preds, target)[..., 0]  # (P, B, H, W)
+    ident_l = rl[:n_f]
+    warp_l = rl[n_f:].reshape(n_scales, n_f, b, height, width)
     if automask:
         # iid noise per (scale, frame, pixel), like the reference's
         # per-iteration torch.randn (`net.py:163`); one fused draw.
         rng, sub = jax.random.split(rng)
         noise = jax.random.normal(
-            sub, (b, n_scales, n_f, height, width), ident_l.dtype) * 1e-5
+            sub, (n_scales, n_f, b, height, width), ident_l.dtype) * 1e-5
 
     for si, scale in enumerate(scales):
         disp = outputs[f"disp/{scale}"]
         _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
 
-        per_scale = warp_l[:, si]
+        per_scale = warp_l[si]
         if automask:
             per_scale = jnp.concatenate(
-                [ident_l + noise[:, si], per_scale], axis=1)
-        min_reconstruct = per_scale.min(axis=1)
+                [ident_l + noise[si], per_scale], axis=0)
+        min_reconstruct = per_scale.min(axis=0)
         loss[f"min_reconstruct_loss/{scale}"] = min_reconstruct.mean() / n_scales
 
         loss[f"scale_loss/{scale}"] = (

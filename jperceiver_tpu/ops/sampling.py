@@ -135,18 +135,25 @@ def grid_sample(
     grp = 8 if n >= (1 << 20) else 1
     boff = (jnp.arange(b, dtype=jnp.int32) * sh)[:, None, None]  # row blocks
     if grp > 1:
+        # Pad each position's 4C patch to a 16-lane stride: slicing the
+        # gather output at 12-lane offsets re-tiled it (one 2.8 ms copy of
+        # the 800 MB output per frame); 16-lane-aligned slices are free and
+        # the row becomes exactly 128 lanes.
+        cs = -(-4 * c // 16) * 16
+        if cs != 4 * c:
+            patch = jnp.pad(patch, ((0, 0),) * 3 + ((0, cs - 4 * c),))
         sw8 = -(-sw // grp)
         if sw8 * grp != sw:
             patch = jnp.pad(
                 patch, ((0, 0), (0, 0), (0, sw8 * grp - sw), (0, 0)))
-        flat = patch.reshape(b * sh * sw8, grp * 4 * c)
+        flat = patch.reshape(b * sh * sw8, grp * cs)
         idx = ((y0i + boff) * sw8 + x0i // grp).reshape(b * n)
         sub = (x0i % grp).reshape(b * n, 1)
-        g = _take_rows(flat, idx)  # (B*N, 32C)
+        g = _take_rows(flat, idx)  # (B*N, 8*cs)
         g4 = g[:, : 4 * c] * 0
         for k in range(grp):
             g4 = g4 + jnp.where(
-                sub == k, g[:, k * 4 * c:(k + 1) * 4 * c], 0)
+                sub == k, g[:, k * cs:k * cs + 4 * c], 0)
     else:
         flat = patch.reshape(b * sh * sw, 4 * c)
         idx = ((y0i + boff) * sw + x0i).reshape(b * n)
