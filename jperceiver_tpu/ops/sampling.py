@@ -94,12 +94,14 @@ def grid_sample(
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    # Everything below runs flat-2D (B*N rows): any (B, N, K) view of the
-    # 100-800 MB gather output makes XLA's layout assignment insert
-    # physical copies bridging the (N, K) gather layout (13 ms/step at
-    # 1024^2 measured); the batch dim is folded into the row index instead.
-    wx = (fx - x0).reshape(b * n, 1).astype(dtype)
-    wy = (fy - y0).reshape(b * n, 1).astype(dtype)
+    # The gather below runs flat-2D (B*N rows, batch folded into the row
+    # index) and its output is viewed as a (B, Ho, Wo, K) NHWC image — a
+    # free bitcast of the row-major gather layout. Working in any OTHER
+    # view made XLA's layout assignment bridge the (N, K) gather layout
+    # with physical copies of the full 1 GB output (13 ms/step at 1024^2);
+    # in this form only the final (B, Ho, Wo, C) lerp result is re-laid.
+    wx = (fx - x0)[..., None].astype(dtype)  # (B, Ho, Wo, 1)
+    wy = (fy - y0)[..., None].astype(dtype)
     x0i = jnp.clip(x0 + shift, 0, hi_x).astype(jnp.int32)
     y0i = jnp.clip(y0 + shift, 0, hi_y).astype(jnp.int32)
 
@@ -148,25 +150,24 @@ def grid_sample(
                 patch, ((0, 0), (0, 0), (0, sw8 * grp - sw), (0, 0)))
         flat = patch.reshape(b * sh * sw8, grp * cs)
         idx = ((y0i + boff) * sw8 + x0i // grp).reshape(b * n)
-        sub = (x0i % grp).reshape(b * n, 1)
-        g = _take_rows(flat, idx)  # (B*N, 8*cs)
-        g4 = g[:, : 4 * c] * 0
+        sub = (x0i % grp)[..., None]  # (B, Ho, Wo, 1)
+        g = _take_rows(flat, idx).reshape(b, ho, wo, grp * cs)
+        g4 = g[..., : 4 * c] * 0
         for k in range(grp):
             g4 = g4 + jnp.where(
-                sub == k, g[:, k * cs:k * cs + 4 * c], 0)
+                sub == k, g[..., k * cs:k * cs + 4 * c], 0)
     else:
         flat = patch.reshape(b * sh * sw, 4 * c)
         idx = ((y0i + boff) * sw + x0i).reshape(b * n)
-        g4 = _take_rows(flat, idx)  # (B*N, 4C)
+        g4 = _take_rows(flat, idx).reshape(b, ho, wo, 4 * c)
     # Slice the four taps out of the 4C lane dim (fused, layout-preserving)
-    # rather than reshaping to (B*N, 4, C) — that reshape re-tiles the 50M-
+    # rather than reshaping to (..., 4, C) — that reshape re-tiles the 50M-
     # element gather output and costs a physical copy per tap at 1024^2.
-    v00, v01, v10, v11 = (g4[:, i * c:(i + 1) * c] for i in range(4))
+    v00, v01, v10, v11 = (g4[..., i * c:(i + 1) * c] for i in range(4))
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
-    out = top * (1 - wy) + bot * wy
-    return out.reshape(b, ho, wo, c)
+    return top * (1 - wy) + bot * wy
 
 
 def grid_sample_multi(
