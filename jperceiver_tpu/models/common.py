@@ -71,6 +71,57 @@ class _DispConvInner(nn.Module):
         return y[..., None] + bias.astype(y.dtype)
 
 
+class ConvReflect3x3Split(nn.Module):
+    """`ConvReflect3x3` applied to a channel-concat, without the concat.
+
+    conv(concat(parts), W) == sum_i conv(part_i, W[:, :, off_i:off_i+c_i])
+    — identical params (`conv/kernel` over the full concat width + bias),
+    but skips materializing the concatenated tensor and keeps each conv's
+    input channel count a clean power-of-two (the decoder's 513-channel
+    concat pads to 640 lanes on TPU). 1-channel parts (the disp skip)
+    contribute via the same matmul+shift decomposition as `DispConv`
+    backwards: here a (HW,1)x(1,9)->(HW,9) outer product + shifted adds is
+    just the direct conv, cheap at C_in=1, so lax conv is used as-is.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        # params live under a nested "conv" scope for tree parity with
+        # ConvReflect3x3 (whose nn.Conv is named "conv")
+        return _SplitConvInner(self.features, self.dtype, name="conv")(parts)
+
+
+class _SplitConvInner(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        cs = [p.shape[-1] for p in parts]
+        total = sum(cs)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, total, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = None
+        off = 0
+        for p, c in zip(parts, cs):
+            kp = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
+            t = jax.lax.conv_general_dilated(
+                reflect_pad(p).astype(self.dtype), kp.astype(self.dtype),
+                window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = t if y is None else y + t
+            off += c
+        return y + bias.astype(y.dtype)
+
+
 class Conv1x1(nn.Module):
     features: int
     use_bias: bool = False

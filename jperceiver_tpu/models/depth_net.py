@@ -13,7 +13,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.sampling import upsample2x_nearest
-from .common import Conv1x1, ConvReflect3x3, CRPBlock, DispConv
+from .common import (Conv1x1, ConvReflect3x3, ConvReflect3x3Split, CRPBlock,
+                     DispConv)
 from .resnet import ResNet
 
 
@@ -46,8 +47,12 @@ class DepthDecoder(nn.Module):
         l4 = do(l4)
         l3 = do(l3)
 
-        def level(x, idx):
-            x = lrelu(ConvReflect3x3(bn, self.dtype, name=f"iconv{idx}")(x))
+        def level(parts, idx):
+            # iconv consumes the skip-concat WITHOUT materializing it
+            # (`ConvReflect3x3Split`): the (256, 256, 1)-part concat would
+            # pad 513 -> 640 lanes and cost a full extra tensor write.
+            x = lrelu(
+                ConvReflect3x3Split(bn, self.dtype, name=f"iconv{idx}")(parts))
             x = CRPBlock(bn, 4, self.dtype, name=f"crp{idx}")(x)
             x = lrelu(ConvReflect3x3(bn, self.dtype, name=f"merge{idx}")(x))
             x = upsample2x_nearest(x)
@@ -55,19 +60,16 @@ class DepthDecoder(nn.Module):
             return x, disp
 
         x4 = Conv1x1(512, dtype=self.dtype, name="reduce4")(l4)
-        x4, disp4 = level(x4, 4)
+        x4, disp4 = level([x4], 4)
 
         x3 = Conv1x1(bn, dtype=self.dtype, name="reduce3")(l3)
-        x3 = jnp.concatenate([x3, x4, disp4], axis=-1)
-        x3, disp3 = level(x3, 3)
+        x3, disp3 = level([x3, x4, disp4], 3)
 
         x2 = Conv1x1(bn, dtype=self.dtype, name="reduce2")(l2)
-        x2 = jnp.concatenate([x2, x3, disp3], axis=-1)
-        x2, disp2 = level(x2, 2)
+        x2, disp2 = level([x2, x3, disp3], 2)
 
         x1 = Conv1x1(bn, dtype=self.dtype, name="reduce1")(l1)
-        x1 = jnp.concatenate([x1, x2, disp2], axis=-1)
-        _, disp1 = level(x1, 1)
+        _, disp1 = level([x1, x2, disp2], 1)
 
         # String keys ("disp/<scale>") keep the outputs dict a valid JAX
         # pytree (sortable keys) across jit boundaries.
