@@ -21,15 +21,19 @@ def _gather_pixels(img_flat: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def _take_rows(flat: jax.Array, idx: jax.Array) -> jax.Array:
-    """(M, K) rows at (N,) in-bounds indices -> (N, K).
+    """(M, K) rows at in-bounds indices of any shape S -> (*S, K).
 
     lax.gather with PROMISE_IN_BOUNDS: `jnp.take`'s modes all insert an
-    index fixup or an OOB select over the full gather output.
+    index fixup or an OOB select over the full gather output. The output
+    shape comes straight from the gather dimension numbers — reshaping a
+    (N, K) gather result to (B, Ho, Wo, K) afterwards cost a 1 GB layout
+    copy at 1024^2.
     """
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+        offset_dims=(idx.ndim,), collapsed_slice_dims=(0,),
+        start_index_map=(0,))
     return jax.lax.gather(
-        flat, idx[:, None], dimension_numbers=dnums,
+        flat, idx[..., None], dimension_numbers=dnums,
         slice_sizes=(1, flat.shape[1]),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
@@ -149,17 +153,17 @@ def grid_sample(
             patch = jnp.pad(
                 patch, ((0, 0), (0, 0), (0, sw8 * grp - sw), (0, 0)))
         flat = patch.reshape(b * sh * sw8, grp * cs)
-        idx = ((y0i + boff) * sw8 + x0i // grp).reshape(b * n)
+        idx = (y0i + boff) * sw8 + x0i // grp  # (B, Ho, Wo)
         sub = (x0i % grp)[..., None]  # (B, Ho, Wo, 1)
-        g = _take_rows(flat, idx).reshape(b, ho, wo, grp * cs)
+        g = _take_rows(flat, idx)  # (B, Ho, Wo, 8*cs)
         g4 = g[..., : 4 * c] * 0
         for k in range(grp):
             g4 = g4 + jnp.where(
                 sub == k, g[..., k * cs:k * cs + 4 * c], 0)
     else:
         flat = patch.reshape(b * sh * sw, 4 * c)
-        idx = ((y0i + boff) * sw + x0i).reshape(b * n)
-        g4 = _take_rows(flat, idx).reshape(b, ho, wo, 4 * c)
+        idx = (y0i + boff) * sw + x0i  # (B, Ho, Wo)
+        g4 = _take_rows(flat, idx)  # (B, Ho, Wo, 4C)
     # Slice the four taps out of the 4C lane dim (fused, layout-preserving)
     # rather than reshaping to (..., 4, C) — that reshape re-tiles the 50M-
     # element gather output and costs a physical copy per tap at 1024^2.
