@@ -113,10 +113,22 @@ class _SplitConvInner(nn.Module):
         off = 0
         for p, c in zip(parts, cs):
             kp = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
-            t = jax.lax.conv_general_dilated(
-                reflect_pad(p).astype(self.dtype), kp.astype(self.dtype),
-                window_strides=(1, 1), padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            pp = reflect_pad(p).astype(self.dtype)
+            if c <= 4:
+                # A C_in<=4 3x3 conv runs at <4/128 input-lane utilization
+                # (the 1-ch disp skip cost ~3 ms at 256^2); stack the nine
+                # shifted taps into 9C channels and contract on the MXU.
+                h, w = p.shape[1], p.shape[2]
+                taps = [pp[:, ky:ky + h, kx:kx + w, :]
+                        for ky in range(3) for kx in range(3)]
+                z = jnp.concatenate(taps, axis=-1)  # (B, H, W, 9C)
+                wd = kp.reshape(9 * c, self.features)  # (ky,kx,c)-major
+                t = jnp.einsum("bhwk,kf->bhwf", z, wd.astype(self.dtype))
+            else:
+                t = jax.lax.conv_general_dilated(
+                    pp, kp.astype(self.dtype),
+                    window_strides=(1, 1), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = t if y is None else y + t
             off += c
         return y + bias.astype(y.dtype)
