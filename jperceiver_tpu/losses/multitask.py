@@ -201,13 +201,19 @@ def compute_losses(
     # Pair-major stack (P, B, H, W, 3): the target rides in UNstacked as
     # (B, H, W, 3) and broadcasts inside ssim/charbonnier, so its window
     # statistics are computed once instead of P times.
-    pairs = [batch["color"][:, i] for i in range(1, n_f + 1)]
+    # Identity pairs are pure data (no parameter gradient) — kept in their
+    # OWN stack so the warped stack's backward is 8 slices, not 10 (the
+    # joint stack forced dead cotangent slices through the SSIM backward).
+    ident = jnp.stack(
+        [batch["color"][:, i] for i in range(1, n_f + 1)], axis=0)
+    warp_pairs = []
     for si in range(n_scales):
-        pairs += [all_preds[f][:, si] for f in fids]
-    preds = jnp.stack(pairs, axis=0)
-    rl = reprojection_loss(preds, target)[..., 0]  # (P, B, H, W)
-    ident_l = rl[:n_f]
-    warp_l = rl[n_f:].reshape(n_scales, n_f, b, height, width)
+        warp_pairs += [all_preds[f][:, si] for f in fids]
+    preds = jnp.stack(warp_pairs, axis=0)
+    ident_l = jax.lax.stop_gradient(
+        reprojection_loss(ident, target)[..., 0])  # (F, B, H, W)
+    rl = reprojection_loss(preds, target)[..., 0]
+    warp_l = rl.reshape(n_scales, n_f, b, height, width)
     if automask:
         # iid noise per (scale, frame, pixel), like the reference's
         # per-iteration torch.randn (`net.py:163`); one fused draw.

@@ -114,6 +114,9 @@ class StemConv(nn.Module):
         k4 = k8.reshape(4, 2, 4, 2, c, self.features)
         k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        # Space-to-depth via reshape+transpose. (A strided-slice + concat
+        # formulation measured 8 ms SLOWER per step: lane-stride-2 slices
+        # on W-in-lanes layouts are pathological on v5e.)
         hb, wb = (h + 2) // 2, (w + 2) // 2
         xs = xp.reshape(b, hb, 2, wb, 2, c)
         xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hb, wb, 4 * c)
