@@ -18,7 +18,12 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Train JPerceiver-TPU")
-    p.add_argument("--config", required=True, help="python config file")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--config", help="python config file")
+    g.add_argument("--family", help=(
+        "named preset family (one of config.families.list_families(), "
+        "e.g. odometry_boundary_ce_iou_1024_20 — every reference "
+        "cfg_kitti_baseline_* permutation)"))
     p.add_argument("--work_dir", required=True)
     p.add_argument("--resume_from", default=None)
     p.add_argument("--load_from", default=None)
@@ -49,7 +54,12 @@ def main(argv=None):
     from ..models import build_model
     from ..parallel import make_mesh
 
-    cfg = Config.fromfile(args.config)
+    if args.family:
+        from ..config import build_family
+
+        cfg = build_family(args.family)
+    else:
+        cfg = Config.fromfile(args.config)
     for k in ("resume_from", "load_from", "finetune"):
         v = getattr(args, k)
         if v is not None:

@@ -78,3 +78,13 @@ def test_b1_family_two_frames():
     cfg = build_family("odometry_boundary_ce_iou_1024_20_B1")
     assert cfg.model.frame_ids == [0, -1]
     assert cfg.imgs_per_gpu == 1
+
+
+def test_train_cli_accepts_family_flag():
+    """--family resolves through config.families (argparse contract only)."""
+    from jperceiver_tpu.tools.train import parse_args
+
+    args = parse_args(["--family", "odometry_boundary_ce_iou_1024_20",
+                       "--work_dir", "/tmp/x"])
+    assert args.family == "odometry_boundary_ce_iou_1024_20"
+    assert args.config is None
