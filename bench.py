@@ -20,12 +20,14 @@ platform, so the loop chains donated train states and fetches one scalar
 loss at the end — the data dependency forces the whole chain.
 
 Config selection (benchmarks/sweep.py, round 2): bfloat16 compute with
-fp32 pose/geometry/losses at B=1 is the single-chip optimum — 5.1 f/s vs
-4.2 fp32. Gradient-checkpointing (remat) LOSES on this chip (B=2 remat =
-2.2 f/s: recompute is expensive when compute-bound); B>=2 un-remat'd
-OOMs/thrashes 16 GB HBM. Chip roofline (benchmarks/roofline.py): 103
-TFLOP/s matmul, 14-32 TFLOP/s conv (channel-depth dependent), 325 GB/s
-HBM, 124M gather-rows/s.
+fp32 pose/geometry/losses at B=1 is the single-chip optimum. Gradient
+checkpointing (remat) LOSES on this chip (B=2 remat = 2.2 f/s: recompute
+is expensive when compute-bound); B>=2 un-remat'd OOMs/thrashes 16 GB
+HBM. Chip roofline (benchmarks/roofline.py): 103 TFLOP/s matmul, 14-32
+TFLOP/s conv (channel-depth dependent), 325 GB/s HBM, 124M gather-rows/s
+(narrow rows; wide rows are ~4x faster, see DESIGN.md round-2 log).
+Round-2 result: 8.21 f/s/chip (1.03x the baseline estimate), up from 4.13
+at the end of round 1.
 """
 
 from __future__ import annotations

@@ -126,18 +126,13 @@ def grid_sample(
     # Group 8 consecutive x-positions per gather row: v5e gathers wide rows
     # far faster than narrow ones (measured in-program 7.8 ms vs 29.6 ms
     # for the 4.2M-row photometric gather), because a 4C=12-lane row leaves
-    # 116/128 output lanes padding. Row = (8 x-positions) x 4C patch = 32C
-    # lanes; the within-row tap is selected afterwards by a fused 8-way
+    # 116/128 output lanes padding. Row = (8 x-positions) x 16-lane patch =
+    # 128 lanes; the within-row tap is selected afterwards by a fused 8-way
     # masked sum. The shifted-copy patch construction keeps taps straddling
     # a group boundary exact. Only a win for big row counts — small warps
-    # (CGT labels) lose to the select overhead and gather directly.
-    # mode="promise_in_bounds" everywhere: indices are clamped above, and
-    # the default OOB handling materializes a select + copy over the whole
-    # gather output (~10 ms at 1024^2).
-    # The batch dim is folded into the row index and the gather runs as a
-    # flat axis-0 take: the batched (take_along_axis) form makes XLA bridge
-    # (N,K)->(B,N,K) layouts with two physical copies of the 800 MB gather
-    # output (6.4 ms/frame at 1024^2).
+    # (CGT labels) lose to the select overhead and gather directly. The
+    # batch dim is folded into the row index so the gather stays flat-2D on
+    # the operand side (see _take_rows for the in-bounds/ND-output story).
     grp = 8 if n >= (1 << 20) else 1
     boff = (jnp.arange(b, dtype=jnp.int32) * sh)[:, None, None]  # row blocks
     if grp > 1:
