@@ -14,6 +14,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Row count above which grid_sample uses the x-grouped wide-row gather
+# (tests lower this to exercise the grouped path on small images).
+_GROUP_MIN_ROWS = 1 << 20
+
 
 def _gather_pixels(img_flat: jax.Array, idx: jax.Array) -> jax.Array:
     """img_flat: (B, H*W, C); idx: (B, N) int32 -> (B, N, C)."""
@@ -133,7 +137,7 @@ def grid_sample(
     # (CGT labels) lose to the select overhead and gather directly. The
     # batch dim is folded into the row index so the gather stays flat-2D on
     # the operand side (see _take_rows for the in-bounds/ND-output story).
-    grp = 8 if n >= (1 << 20) else 1
+    grp = 8 if n >= _GROUP_MIN_ROWS else 1
     boff = (jnp.arange(b, dtype=jnp.int32) * sh)[:, None, None]  # row blocks
     if grp > 1:
         # Pad each position's 4C patch to a 16-lane stride: slicing the

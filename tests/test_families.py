@@ -88,3 +88,13 @@ def test_train_cli_accepts_family_flag():
                        "--work_dir", "/tmp/x"])
     assert args.family == "odometry_boundary_ce_iou_1024_20"
     assert args.config is None
+
+
+def test_every_family_model_config_builds_a_model():
+    """build_model accepts each family's model dict (no init, shape-only)."""
+    from jperceiver_tpu.models import build_model
+
+    for n in list_families():
+        cfg = build_family(n)
+        m = build_model(cfg.model)
+        assert m.height == cfg.model.height

@@ -121,3 +121,28 @@ def test_grid_sample_bf16_taps_close_to_exact(rng):
     fast = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
                                   tap_dtype=jnp.bfloat16))
     np.testing.assert_allclose(fast, exact, atol=5e-3)
+
+
+def test_grouped_gather_path_matches_direct(rng, monkeypatch):
+    """The x-grouped wide-row gather (production path at 1024^2) must be
+    bit-identical to the direct small-image path."""
+    import torch
+    import torch.nn.functional as F
+
+    from jperceiver_tpu.ops import sampling
+
+    img = jnp.asarray(rng.standard_normal((2, 19, 23, 3)).astype(np.float32))
+    grid = jnp.asarray(
+        (rng.random((2, 9, 13, 2)) * 2.4 - 1.2).astype(np.float32))
+    for mode in ("border", "zeros"):
+        direct = np.asarray(sampling.grid_sample(img, grid, padding_mode=mode))
+        monkeypatch.setattr(sampling, "_GROUP_MIN_ROWS", 1)
+        grouped = np.asarray(sampling.grid_sample(img, grid, padding_mode=mode))
+        monkeypatch.setattr(sampling, "_GROUP_MIN_ROWS", 1 << 20)
+        np.testing.assert_array_equal(grouped, direct)
+        ref = F.grid_sample(
+            torch.from_numpy(np.asarray(img).transpose(0, 3, 1, 2)),
+            torch.from_numpy(np.asarray(grid)),
+            mode="bilinear", padding_mode=mode, align_corners=True,
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(grouped, ref, rtol=1e-5, atol=1e-5)
