@@ -19,11 +19,6 @@ import jax.numpy as jnp
 _GROUP_MIN_ROWS = 1 << 20
 
 
-def _gather_pixels(img_flat: jax.Array, idx: jax.Array) -> jax.Array:
-    """img_flat: (B, H*W, C); idx: (B, N) int32 -> (B, N, C)."""
-    return jnp.take_along_axis(img_flat, idx[..., None], axis=1)
-
-
 def _take_rows(flat: jax.Array, idx: jax.Array) -> jax.Array:
     """(M, K) rows at in-bounds indices of any shape S -> (*S, K).
 
