@@ -31,12 +31,18 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _bev_to_warp_frame(x: jax.Array) -> jax.Array:
-    """fliplr + rotate-270 (torchvision) == flip both spatial axes, transpose.
+    """rotate-270 (torchvision) ONLY — the reference's fliplr is a no-op.
 
-    Parity with `net.py:239-242`; exact (pure permutation, no resampling).
-    x: (B, S, S, C) -> (B, S, S, C).
+    `net.py:239-242` calls `torch.fliplr` on a (B, 1, S, S) tensor;
+    torch.fliplr flips DIM 1, which there is the size-1 channel axis — so
+    the effective transform the reference actually trains with is just
+    `rotate(angle=270)` on the spatial dims. Verified against the REAL
+    reference code in `tests/test_cgt_ref_golden.py` (a hand-mirrored
+    fliplr+rot270 passed the quad-masked static golden by lateral symmetry
+    but diverged on the full-image `both` labels).
+    Exact (pure permutation, no resampling). x: (B, S, S, C) -> same.
     """
-    return jnp.swapaxes(jnp.flip(x, axis=(1, 2)), 1, 2)
+    return jnp.flip(jnp.swapaxes(x, 1, 2), axis=2)
 
 
 def _distance_ramp(batch: int, size: int, offset: float, dtype=jnp.float32) -> jax.Array:

@@ -1,8 +1,10 @@
 """CGT scale-label golden test vs a numpy/cv2 mirror of `net.py:212-310`.
 
-The mirror replicates the reference pipeline step by step (fliplr + rot270,
-SE3 chain, H&Z homography, cv2.warpPerspective, cv2.fillConvexPoly) so the
-XLA implementation can be validated without torchgeometry.
+SECONDARY check — the primary parity test is `test_cgt_ref_golden.py`,
+which runs the REAL reference methods. The mirror replicates the reference
+pipeline step by step (rot270 — the reference's `torch.fliplr` acts on a
+(B,1,S,S) tensor's dim 1 and is a no-op, see `losses/cgt.py` — SE3 chain,
+H&Z homography, cv2.warpPerspective, cv2.fillConvexPoly).
 """
 
 import cv2
@@ -34,8 +36,8 @@ def _mirror_static(bev, K3, Tr, split, S, out_hw):
     rows = np.arange(S)[:, None].repeat(S, 1)
     ramp = (S - rows) * (40.0 / S) - offset
 
-    bev_r = np.rot90(np.fliplr(bev.astype(np.float32)), 3)
-    ramp_r = np.rot90(np.fliplr(ramp.astype(np.float32)), 3)
+    bev_r = np.rot90(bev.astype(np.float32), 3)
+    ramp_r = np.rot90(ramp.astype(np.float32), 3)
 
     H_sg_img = _mirror_homography(K3, Tr, cam_h, S)
     # reference: warp_perspective(src, inv(H_sg_img)) == sample src at H*p;
