@@ -73,9 +73,12 @@ def _warped_frames_all(outputs, batch, scales, frame_ids, height, width,
     preds = {}
     for i, f in enumerate(frame_ids[1:], start=1):
         stacked = jnp.stack([g[f] for g in grids], axis=1)  # (B,S,H,W,2)
+        # img_grad=False: the sampled frames are input data, so the warp
+        # uses the const-image custom VJP — the backward keeps only the two
+        # analytic grid-tangent fields instead of ~1 GB of tap residuals.
         preds[f] = grid_sample_multi(
             batch["color"][:, i], stacked, padding_mode="border",
-            tap_dtype=tap_dtype,
+            tap_dtype=tap_dtype, img_grad=False,
         )
     return preds
 
@@ -98,9 +101,13 @@ def compute_losses(
     # Branch gating (`net.py:125-159` root copy — the runnable semantics:
     # the `mono/` copy leaves weightD unbound for single-branch types):
     # static types train the road branch only, dynamic types the vehicle
-    # branch only, Argo_both trains both. Under XLA this also dead-code-
-    # eliminates the inactive branch's forward out of the train step —
-    # the reference relied on DDP find_unused_parameters=True instead.
+    # branch only, Argo_both trains both. NOTE: gating the LOSS does not by
+    # itself remove the inactive branch's forward from the jitted step —
+    # its BatchNorm batch_stats updates flow out through mutable=
+    # ["batch_stats"] and keep it alive (the reference also runs both
+    # branches, `net.py:75`, relying on find_unused_parameters=True).
+    # To actually skip the inactive forward, set cfg.skip_inactive_branch
+    # (model `branches` knob) — then the branch is never traced at all.
     seg_kwargs = dict(
         loss_type=cfg.get("loss_type", "iou"),
         loss_sum=int(cfg.get("loss_sum", 1)),

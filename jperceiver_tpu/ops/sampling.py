@@ -11,6 +11,8 @@ All images are NHWC.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +45,7 @@ def grid_sample(
     padding_mode: str = "border",
     align_corners: bool = True,
     tap_dtype=None,
+    img_grad: bool = True,
 ) -> jax.Array:
     """Bilinear sampling of `img` at normalized `grid` locations.
 
@@ -56,6 +59,16 @@ def grid_sample(
     patch tensor (built from fused shifted copies) cuts gather transactions
     4x and measured ~17x wall-clock on v5e vs the naive form.
 
+    `img_grad=False` declares the image a constant (true for the
+    photometric warps: the sampled frames are input data) and switches to a
+    custom VJP that saves only the two analytic grid-tangent fields
+    (d out/d fx, d out/d fy — each (B, Ho, Wo, C)) instead of the gathered
+    taps + lerp weights: at the flagship config plain autodiff keeps ~1 GB
+    of gather-output residuals alive for the backward pass; the tangents
+    are ~50 MB and the backward collapses to one small contraction.
+    Gradients are the exact same analytic expressions autodiff produces
+    (floor is piecewise-constant; clamp masks replicated).
+
     Args:
       img:  (B, H, W, C).
       grid: (B, Ho, Wo, 2) with grid[..., 0]=x, grid[..., 1]=y in [-1, 1].
@@ -65,6 +78,23 @@ def grid_sample(
     """
     if padding_mode not in ("border", "zeros"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
+    if not img_grad:
+        return _grid_sample_const_img(
+            img, grid, padding_mode, align_corners, tap_dtype)
+    return _gs_impl(img, grid, padding_mode, align_corners, tap_dtype, False)[0]
+
+
+def _gs_impl(
+    img: jax.Array,
+    grid: jax.Array,
+    padding_mode: str,
+    align_corners: bool,
+    tap_dtype,
+    want_tangents: bool,
+):
+    """Shared grid_sample body; optionally also emits the analytic grid
+    tangents d out/d gx, d out/d gy (already chained through the pixel
+    scaling and clamp masks, so the backward is just sum_c(g * tangent))."""
     b, h, w, c = img.shape
     _, ho, wo, _ = grid.shape
     dtype = img.dtype
@@ -73,15 +103,22 @@ def grid_sample(
     gx = grid[..., 0].astype(jnp.float32)
     gy = grid[..., 1].astype(jnp.float32)
     if align_corners:
-        fx = (gx + 1.0) * 0.5 * (w - 1)
-        fy = (gy + 1.0) * 0.5 * (h - 1)
+        sx, sy = 0.5 * (w - 1), 0.5 * (h - 1)
+        fx = (gx + 1.0) * sx
+        fy = (gy + 1.0) * sy
     else:
-        fx = (gx + 1.0) * 0.5 * w - 0.5
-        fy = (gy + 1.0) * 0.5 * h - 0.5
+        sx, sy = 0.5 * w, 0.5 * h
+        fx = (gx + 1.0) * sx - 0.5
+        fy = (gy + 1.0) * sy - 0.5
 
     if padding_mode == "border":
         # Border mode == sampling at coordinates clamped to the image box;
         # clamping the *continuous* coords keeps the lerp weights exact.
+        # Tangent masks replicate the clamp's autodiff (grad passes at the
+        # boundary itself, lax.max/min tie rules).
+        if want_tangents:
+            mx = (fx >= 0.0) & (fx <= w - 1.0)
+            my = (fy >= 0.0) & (fy <= h - 1.0)
         fx = jnp.clip(fx, 0.0, w - 1.0)
         fy = jnp.clip(fy, 0.0, h - 1.0)
         src = img
@@ -90,7 +127,10 @@ def grid_sample(
     else:
         # Zeros mode: a 2-pixel zero ring makes every corner case exact
         # with plain index clamping — straddling taps read the zero ring,
-        # far-out coords clamp fully into it. No masks needed.
+        # far-out coords clamp fully into it. No masks needed (tangents of
+        # fully-out-of-range samples vanish through the all-zero taps).
+        if want_tangents:
+            mx = my = None
         src = jnp.pad(img, ((0, 0), (2, 2), (2, 2), (0, 0)))
         shift = 2
         hi_x, hi_y = w + 2, h + 2
@@ -165,7 +205,62 @@ def grid_sample(
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    out = top * (1 - wy) + bot * wy
+    if not want_tangents:
+        return out, None, None
+    # Analytic d out/d fx, d out/d fy (floor/index paths are
+    # piecewise-constant, exactly as autodiff treats them), chained through
+    # the pixel scaling and clamp masks so the backward needs ONLY these
+    # two fields: d out/d gx = sx * mask * ((v01-v00)(1-wy) + (v11-v10) wy).
+    fxs = jnp.asarray(sx, out.dtype)
+    fys = jnp.asarray(sy, out.dtype)
+    if mx is not None:
+        fxs = fxs * mx[..., None].astype(out.dtype)
+        fys = fys * my[..., None].astype(out.dtype)
+    dgx = ((v01 - v00) * (1 - wy) + (v11 - v10) * wy) * fxs
+    dgy = (bot - top) * fys
+    return out, dgx, dgy
+
+
+@functools.lru_cache(maxsize=None)
+def _const_img_gs_fn(padding_mode, align_corners, tap_dtype_name,
+                     img_shape, img_dtype_name, grid_dtype_name):
+    """custom_vjp grid_sample specialization (static config via cache key —
+    residual pytrees may only hold arrays, so shapes/dtypes live here)."""
+    tap_dtype = jnp.dtype(tap_dtype_name) if tap_dtype_name else None
+    img_dtype = jnp.dtype(img_dtype_name)
+    grid_dtype = jnp.dtype(grid_dtype_name)
+
+    @jax.custom_vjp
+    def f(img, grid):
+        return _gs_impl(img, grid, padding_mode, align_corners,
+                        tap_dtype, False)[0]
+
+    def fwd(img, grid):
+        out, dgx, dgy = _gs_impl(
+            img, grid, padding_mode, align_corners, tap_dtype, True)
+        return out, (dgx, dgy)
+
+    def bwd(res, g):
+        dgx, dgy = res
+        gf = g.astype(jnp.float32)
+        cgx = jnp.sum(gf * dgx.astype(jnp.float32), axis=-1)
+        cgy = jnp.sum(gf * dgy.astype(jnp.float32), axis=-1)
+        cgrid = jnp.stack([cgx, cgy], axis=-1).astype(grid_dtype)
+        return jnp.zeros(img_shape, img_dtype), cgrid
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _grid_sample_const_img(img, grid, padding_mode, align_corners, tap_dtype):
+    """grid_sample with the image declared constant (no image cotangent)."""
+    fn = _const_img_gs_fn(
+        padding_mode, align_corners,
+        jnp.dtype(tap_dtype).name if tap_dtype is not None else None,
+        tuple(img.shape), jnp.dtype(img.dtype).name,
+        jnp.dtype(grid.dtype).name)
+    return fn(img, grid)
 
 
 def grid_sample_multi(
@@ -174,6 +269,7 @@ def grid_sample_multi(
     padding_mode: str = "border",
     align_corners: bool = True,
     tap_dtype=None,
+    img_grad: bool = True,
 ) -> jax.Array:
     """Sample ONE image at S independent grids with a single gather.
 
@@ -189,7 +285,8 @@ def grid_sample_multi(
     """
     b, s, ho, wo, _ = grids.shape
     flat = grids.reshape(b, s * ho, wo, 2)
-    out = grid_sample(img, flat, padding_mode, align_corners, tap_dtype)
+    out = grid_sample(img, flat, padding_mode, align_corners, tap_dtype,
+                      img_grad=img_grad)
     return out.reshape(b, s, ho, wo, img.shape[-1])
 
 

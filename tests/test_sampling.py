@@ -5,6 +5,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from jperceiver_tpu.ops import (
@@ -146,3 +147,48 @@ def test_grouped_gather_path_matches_direct(rng, monkeypatch):
             mode="bilinear", padding_mode=mode, align_corners=True,
         ).numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(grouped, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+@pytest.mark.parametrize("align", [True, False])
+def test_const_img_vjp_matches_autodiff(rng, padding, align):
+    """img_grad=False custom VJP == plain autodiff w.r.t. the grid,
+    including clamped/out-of-range coordinates and both paddings."""
+    img = jnp.asarray(rng.standard_normal((2, 9, 11, 3)).astype(np.float32))
+    # Grid spans well past [-1, 1] to exercise the clamp-mask tangents.
+    grid = jnp.asarray(
+        (rng.uniform(-1.6, 1.6, (2, 7, 8, 2))).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((2, 7, 8, 3)).astype(np.float32))
+
+    def loss(g, img_grad):
+        out = grid_sample(img, g, padding_mode=padding, align_corners=align,
+                          img_grad=img_grad)
+        return jnp.sum(out * cot)
+
+    ref = jax.grad(lambda g: loss(g, True))(grid)
+    got = jax.grad(lambda g: loss(g, False))(grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # forward values identical too
+    f_ref = grid_sample(img, grid, padding_mode=padding, align_corners=align)
+    f_got = grid_sample(img, grid, padding_mode=padding, align_corners=align,
+                        img_grad=False)
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_got))
+
+
+def test_const_img_vjp_grouped_path(rng, monkeypatch):
+    """Same check through the x8-grouped wide-row gather path."""
+    import jperceiver_tpu.ops.sampling as S
+
+    monkeypatch.setattr(S, "_GROUP_MIN_ROWS", 1)
+    img = jnp.asarray(rng.standard_normal((1, 16, 24, 3)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, (1, 10, 12, 2)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((1, 10, 12, 3)).astype(np.float32))
+
+    def loss(g, img_grad):
+        return jnp.sum(grid_sample(img, g, img_grad=img_grad) * cot)
+
+    ref = jax.grad(lambda g: loss(g, True))(grid)
+    got = jax.grad(lambda g: loss(g, False))(grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
