@@ -31,17 +31,28 @@ def make_train_step(model, cfg, donate: bool = True,
     `parallel/mesh.py::zero1_state_shardings`).
     """
 
+    # Per-replica BN parity knob (`cfg.bn_groups`, default 1 = global-batch
+    # stats): the reference trains per-replica BN under DDP
+    # (`trainer.py:167`); set bn_groups to the data-mesh size to reproduce
+    # those semantics (and drop the BN-stat collectives from the step).
+    bn_groups = int(cfg.get("bn_groups", 1)) if hasattr(cfg, "get") else 1
+    # Pallas conv path for shallow-channel 3x3s (`cfg.use_pallas_conv`).
+    use_pconv = bool(cfg.get("use_pallas_conv", False)) if hasattr(cfg, "get") else False
+
     def step(state, batch, rng):
+        from ..models.common import pallas_conv_scope, per_replica_bn
+
         dropout_rng, loss_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
-            outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch,
-                train=True,
-                rngs={"dropout": dropout_rng},
-                mutable=["batch_stats"],
-            )
+            with per_replica_bn(bn_groups), pallas_conv_scope(use_pconv):
+                outputs, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch,
+                    train=True,
+                    rngs={"dropout": dropout_rng},
+                    mutable=["batch_stats"],
+                )
             loss_dict = compute_losses(outputs, batch, cfg, loss_rng)
             return total_loss(loss_dict), (loss_dict, mutated["batch_stats"])
 
@@ -63,16 +74,21 @@ def optax_global_norm(tree) -> jax.Array:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, cfg=None) -> Callable:
     """Jitted inference step: outputs only (no losses), eval-mode BN."""
+    use_pconv = bool(cfg.get("use_pallas_conv", False)) if (
+        cfg is not None and hasattr(cfg, "get")) else False
 
     def step(state, batch):
-        return model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch,
-            train=False,
-            with_pose=True,
-        )
+        from ..models.common import pallas_conv_scope
+
+        with pallas_conv_scope(use_pconv):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch,
+                train=False,
+                with_pose=True,
+            )
 
     return jax.jit(step)
 

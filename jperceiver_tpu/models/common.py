@@ -11,6 +11,183 @@ import jax.numpy as jnp
 
 from ..ops.padding import reflect_pad  # noqa: F401 (re-export, legacy path)
 
+# --- per-replica BatchNorm ---------------------------------------------------
+#
+# The reference trains per-replica BN: DDP wraps plain nn.BatchNorm2d, so
+# each GPU normalizes over its OWN per-GPU batch (`mono/apis/trainer.py:167`
+# — no SyncBatchNorm conversion anywhere). Under pjit our default BN
+# reduces over the GLOBAL sharded batch (XLA inserts the cross-chip
+# collectives), a documented deviation (DESIGN.md #4). `per_replica_bn(G)`
+# reproduces the reference semantics: batch statistics are computed per
+# contiguous batch block of size B/G. When G equals the data-mesh size and
+# the batch axis is sharded over it, each block IS one chip's shard, so
+# the moments are computed locally with no collective at all — both a
+# parity knob and an ICI-traffic saving.
+#
+# The group count is read at TRACE time (set it around `model.apply`, as
+# `engine/trainer.py::make_train_step` does from `cfg.bn_groups`); it is
+# not a traced value, so changing it requires re-jitting.
+
+_BN_GROUPS: int = 1
+
+
+class per_replica_bn:
+    """Context manager: BatchNorm below computes per-group batch stats."""
+
+    def __init__(self, groups: int):
+        self.groups = max(int(groups), 1)
+
+    def __enter__(self):
+        global _BN_GROUPS
+        self._prev, _BN_GROUPS = _BN_GROUPS, self.groups
+        return self
+
+    def __exit__(self, *exc):
+        global _BN_GROUPS
+        _BN_GROUPS = self._prev
+        return False
+
+
+def bn_group_count() -> int:
+    return _BN_GROUPS
+
+
+class BatchNorm(nn.BatchNorm):
+    """`nn.BatchNorm` + optional per-replica (grouped) batch statistics.
+
+    Drop-in: identical param/stat tree ("scale"/"bias" params,
+    "mean"/"var" batch_stats). With `per_replica_bn(G)` active and
+    use_running_average=False, moments are computed per contiguous batch
+    block of size B/G (fp32 fast-variance formula, matching flax); the
+    running stats are updated with the across-group average — the
+    deterministic analog of DDP's per-replica running stats (the reference
+    checkpoints rank 0's copy; ours is the group mean, documented).
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        groups = bn_group_count()
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        if groups == 1 or ura:
+            return super().__call__(x, use_running_average=use_running_average)
+        if x.shape[0] % groups:
+            raise ValueError(
+                f"per_replica_bn({groups}): batch {x.shape[0]} not divisible"
+            )
+        assert self.use_scale and self.use_bias, "grouped path assumes affine BN"
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        xr = x.reshape(groups, x.shape[0] // groups, *x.shape[1:])
+        xf = xr.astype(jnp.float32)
+        red = tuple(range(1, xr.ndim - 1))  # per-group batch+spatial axes
+        mu = jnp.mean(xf, red)              # (G, C)
+        mu2 = jnp.mean(xf * xf, red)
+        var = jnp.maximum(mu2 - mu * mu, 0.0)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * jnp.mean(mu, 0)
+            ra_var.value = m * ra_var.value + (1.0 - m) * jnp.mean(var, 0)
+        bshape = (groups,) + (1,) * (xr.ndim - 2) + (c,)
+        y = (xf - mu.reshape(bshape)) * jax.lax.rsqrt(
+            var.reshape(bshape) + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        out_dtype = self.dtype or x.dtype
+        return y.reshape(x.shape).astype(out_dtype)
+
+
+# --- Pallas-switchable 3x3 conv ----------------------------------------------
+#
+# XLA's conv lowering on this platform runs shallow-channel 3x3s at
+# 1/10th-1/20th of matmul throughput; `ops/pallas/conv3x3.py` rebuilds the
+# conv as nine shifted MXU dots. Like the BN group count, the switch is a
+# TRACE-TIME flag (set around `model.apply` — the train step, bench and
+# eval step do this from `cfg.use_pallas_conv`); changing it re-jits.
+
+_PALLAS_CONV: bool = False
+_PALLAS_CONV_FORCE: bool = False  # tests: take the kernel path on CPU too
+
+
+class pallas_conv_scope:
+    """Context manager enabling the Pallas conv path for eligible shapes."""
+
+    def __init__(self, enabled: bool = True, force: bool = False):
+        self.enabled, self.force = enabled, force
+
+    def __enter__(self):
+        global _PALLAS_CONV, _PALLAS_CONV_FORCE
+        self._prev = (_PALLAS_CONV, _PALLAS_CONV_FORCE)
+        _PALLAS_CONV, _PALLAS_CONV_FORCE = self.enabled, self.force
+        return self
+
+    def __exit__(self, *exc):
+        global _PALLAS_CONV, _PALLAS_CONV_FORCE
+        _PALLAS_CONV, _PALLAS_CONV_FORCE = self._prev
+        return False
+
+
+def _pallas_conv_eligible(c_in, c_out, h, w, itemsize) -> bool:
+    from ..ops.pallas.conv3x3 import use_pallas_conv
+
+    if not _PALLAS_CONV:
+        return False
+    if _PALLAS_CONV_FORCE:
+        return h >= 4 and w >= 4
+    return use_pallas_conv(c_in, c_out, h, w, itemsize)
+
+
+class Conv3x3(nn.Module):
+    """3x3 stride-s conv, parameter-identical to `nn.Conv` (same
+    "kernel"/"bias" names, lecun_normal init, fp32 params), that routes
+    stride-1 instances through the Pallas kernel when the scope is active
+    and the shape is in the kernel's win regime.
+
+    `mode`: "same" (zero pad 1) or "valid" (input pre-padded by the
+    caller, e.g. reflect_pad).
+    """
+
+    features: int
+    strides: int = 1
+    use_bias: bool = True
+    mode: str = "same"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c, self.features), jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+        else:
+            bias = jnp.zeros((self.features,), jnp.float32)
+        xd = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        h, w = x.shape[1], x.shape[2]
+        if self.strides == 1 and _pallas_conv_eligible(
+                c, self.features, h, w, xd.dtype.itemsize):
+            from ..ops.pallas.conv3x3 import (pallas_conv3x3,
+                                              pallas_conv3x3_valid)
+
+            f = pallas_conv3x3 if self.mode == "same" else pallas_conv3x3_valid
+            return f(xd, k, b)
+        pad = [(1, 1), (1, 1)] if self.mode == "same" else [(0, 0), (0, 0)]
+        y = jax.lax.conv_general_dilated(
+            xd, k, (self.strides, self.strides), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(xd.dtype)
+        return y + b if self.use_bias else y
+
 
 class ConvReflect3x3(nn.Module):
     """ReflectionPad(1) + 3x3 VALID conv — the reference's `Conv3x3`
@@ -23,8 +200,8 @@ class ConvReflect3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.features, (3, 3), padding="VALID",
-                       dtype=self.dtype, name="conv")(reflect_pad(x))
+        return Conv3x3(self.features, mode="valid", dtype=self.dtype,
+                       name="conv")(reflect_pad(x))
 
 
 class DispConv(nn.Module):
@@ -83,9 +260,6 @@ class ConvReflect3x3Split(nn.Module):
     backwards: here a (HW,1)x(1,9)->(HW,9) outer product + shifted adds is
     just the direct conv, cheap at C_in=1, so lax conv is used as-is.
     """
-
-    features: int
-    dtype: Any = jnp.float32
 
     features: int
     dtype: Any = jnp.float32

@@ -14,7 +14,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import ConvReflect3x3
+from .common import BatchNorm, Conv3x3, ConvReflect3x3
 from .resnet import ResNet
 
 
@@ -135,7 +135,7 @@ class LayoutDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         num_ch = (16, 32, 64, 128, 256)
-        norm = lambda name: nn.BatchNorm(
+        norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
@@ -143,11 +143,9 @@ class LayoutDecoder(nn.Module):
 
         for i in range(4, -1, -1):
             ch = num_ch[i]
-            x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
-                        name=f"upconv_{i}_0")(x)
+            x = Conv3x3(ch, dtype=self.dtype, name=f"upconv_{i}_0")(x)
             x = nn.relu(norm(f"norm_{i}_0")(x))
             x = upsample2x_nearest(x)
-            x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
-                        name=f"upconv_{i}_1")(x)
+            x = Conv3x3(ch, dtype=self.dtype, name=f"upconv_{i}_1")(x)
             x = norm(f"norm_{i}_1")(x)
         return ConvReflect3x3(self.num_class, self.dtype, name="topview")(x)

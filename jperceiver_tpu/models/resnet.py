@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pallas.maxpool import max_pool_3x3_s2
+from .common import BatchNorm, Conv3x3
 
 _STAGES = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
@@ -37,16 +38,16 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        norm = lambda name: nn.BatchNorm(
+        norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
         identity = x
-        y = nn.Conv(self.features, (3, 3), (self.strides, self.strides),
-                    padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = Conv3x3(self.features, strides=self.strides, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = norm("bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+        y = Conv3x3(self.features, use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
         if self.strides != 1 or x.shape[-1] != self.features:
@@ -63,7 +64,7 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        norm = lambda name: nn.BatchNorm(
+        norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
@@ -72,8 +73,8 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         y = nn.relu(norm("bn1")(y))
-        y = nn.Conv(self.features, (3, 3), (self.strides, self.strides),
-                    padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = Conv3x3(self.features, strides=self.strides, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
         y = nn.relu(norm("bn2")(y))
         y = nn.Conv(out_features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
@@ -152,7 +153,7 @@ class ResNet(nn.Module):
         # Model resolutions are even (encoder needs height % 32 == 0), which
         # the space-to-depth stem requires.
         y = StemConv(64, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         feats.append(y)

@@ -1,20 +1,30 @@
-"""Pallas 3x3/stride-1 SAME conv for shallow-channel layers.
+"""Pallas 3x3/stride-1 conv for shallow-channel layers.
 
 Why: XLA's conv lowering on this platform collapses on small channel
 counts — a 64ch 3x3 at 512² measures 3.9 ms (5 TFLOP/s) while the same
 FLOPs as a matmul run at ~100 TFLOP/s (`benchmarks/convbench2.py`). The
 ResNet stems and layer1/2 blocks of all three trunks live in exactly that
-regime. This kernel rebuilds the conv as im2col-in-VMEM + one MXU dot per
-row-tile, which is bandwidth- and MXU-friendly at any channel width.
+regime. This kernel rebuilds the conv as nine shifted MXU dots per
+row-tile (tap slices straight out of VMEM — no im2col materialization),
+which is bandwidth- and MXU-friendly at any channel width.
+
+Variants:
+  * `pallas_conv3x3(x, w, b)`        — SAME zero padding (ResNet blocks).
+  * `pallas_conv3x3_valid(xp, w, b)` — VALID on a pre-padded (H+2, W+2)
+    input: composes with `reflect_pad` for the decoders' reflect conv;
+    autodiff of the pad wrapper folds border gradients back correctly.
 
 Backward strategy (the axon runtime faulted on bespoke Pallas backward
 kernels in round 1): dL/dx is ITSELF a 3x3 conv — with spatially flipped,
-transposed weights — so it reuses this same forward kernel; dL/dW is a
-9-tap shifted contraction done in plain XLA (matmul-shaped, already fast).
+transposed weights and padding (2 - pad_fwd) — so it reuses this same
+forward kernel; dL/dW is a 9-tap shifted contraction done in plain XLA
+(matmul-shaped, already fast); dL/db is a plain reduction.
 
 Numerics: taps and weights feed the MXU in their input dtype with float32
 accumulation — the same contract as `lax.conv` with
-preferred_element_type=float32.
+preferred_element_type=float32. Bias is added to the fp32 accumulator.
+
+On CPU (tests) the pallas_call runs in interpret mode.
 """
 
 from __future__ import annotations
@@ -32,15 +42,21 @@ except ImportError:  # pragma: no cover
     HAVE_PALLAS_TPU = False
 
 
-def _ref_conv(x: jax.Array, w: jax.Array) -> jax.Array:
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _ref_conv(x: jax.Array, w: jax.Array, pad: int) -> jax.Array:
     return jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x, w, (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
 
-def _fwd_kernel(x_ref, w_ref, out_ref):
-    """x_ref: (1, TH+2, W+2, C) halo tile; w_ref: (9C, O); out: (1, TH, W, O).
+def _fwd_kernel(x_ref, w_ref, b_ref, out_ref):
+    """x_ref: (1, TH+2, W+2, C) halo tile; w_ref: (9C, O); b_ref: (1, O);
+    out: (1, TH, W, O).
 
     Nine shifted (TH*W, C) x (C, O) MXU dots accumulated in fp32 — avoids
     the big im2col concat, which Mosaic handles poorly on the lane axis.
@@ -48,13 +64,13 @@ def _fwd_kernel(x_ref, w_ref, out_ref):
     x = x_ref[0]
     th, wd, o = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
     c = x.shape[-1]
-    acc = jnp.zeros((th * wd, o), jnp.float32)
+    acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32), (th * wd, o))
     for dy in range(3):
         for dx in range(3):
             tap = x[dy : dy + th, dx : dx + wd, :].reshape(th * wd, c)
             k = (dy * 3 + dx) * c
-            acc += jnp.dot(tap, w_ref[k : k + c, :],
-                           preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(tap, w_ref[k : k + c, :],
+                                preferred_element_type=jnp.float32)
     out_ref[0] = acc.reshape(th, wd, o).astype(out_ref.dtype)
 
 
@@ -64,84 +80,123 @@ def _row_tile(h: int, w: int, c: int, o: int, itemsize: int) -> int:
         if h % t:
             continue
         tile_in = (t + 2) * (w + 2) * c * itemsize
-        cols = t * w * 9 * c * itemsize
+        taps = 2 * t * w * c * itemsize  # live tap slices during the dots
         tile_out = t * w * o * 4
-        if 2 * tile_in + cols + tile_out <= budget:
+        if 2 * tile_in + taps + tile_out <= budget:
             return t
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _pallas_conv3x3_raw(x: jax.Array, w: jax.Array) -> jax.Array:
-    b, h, wd, c = x.shape
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _pallas_conv3x3_raw(x: jax.Array, w: jax.Array, b: jax.Array,
+                        pad: int = 1) -> jax.Array:
+    """3x3 stride-1 conv with `pad` zero-padding (pad=1 SAME, 0 VALID on a
+    pre-padded input, 2 full — the dgrad of VALID)."""
+    bsz, h, wd, c = x.shape
     o = w.shape[-1]
-    th = _row_tile(h, wd, c, o, x.dtype.itemsize)
-    n = h // th
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    ho, wo = h + 2 * pad - 2, wd + 2 * pad - 2
+    th = _row_tile(ho, wo, c, o, x.dtype.itemsize)
+    n = ho // th
     # Overlapping halo tiles materialized in XLA (Pallas block offsets are
     # in block units, so halos cannot overlap through BlockSpecs alone):
-    # (B, n, TH+2, W+2, C) — ~(2/TH) duplication.
-    starts = [t * th for t in range(n)]
-    xt = jnp.stack([xp[:, s0 : s0 + th + 2] for s0 in starts], axis=1)
-    xt = xt.reshape(b * n, th + 2, wd + 2, c)
+    # (B, n, TH+2, Wo+2, C) — ~(2/TH) duplication.
+    xt = jnp.stack([x[:, t * th : t * th + th + 2] for t in range(n)], axis=1)
+    xt = xt.reshape(bsz * n, th + 2, wo + 2, c)
     w2 = w.reshape(9 * c, o)
+    b2 = b.reshape(1, o)
     out = pl.pallas_call(
         _fwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((b * n, th, wd, o), x.dtype),
-        grid=(b * n,),
+        out_shape=jax.ShapeDtypeStruct((bsz * n, th, wo, o), x.dtype),
+        grid=(bsz * n,),
         in_specs=[
-            pl.BlockSpec((1, th + 2, wd + 2, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, th + 2, wo + 2, c), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((9 * c, o), lambda i: (0, 0)),
+            pl.BlockSpec((1, o), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, th, wd, o), lambda i: (i, 0, 0, 0)),
-    )(xt, w2)
-    return out.reshape(b, h, wd, o)
+        out_specs=pl.BlockSpec((1, th, wo, o), lambda i: (i, 0, 0, 0)),
+        interpret=_interpret(),
+    )(xt, w2, b2)
+    return out.reshape(bsz, ho, wo, o)
 
 
-def _wgrad(x: jax.Array, g: jax.Array) -> jax.Array:
-    """dL/dW for 3x3 SAME conv: 9 shifted (C, N)x(N, O) contractions (XLA)."""
-    b, h, wd, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+def _wgrad(x: jax.Array, g: jax.Array, pad: int) -> jax.Array:
+    """dL/dW: 9 shifted (C, N)x(N, O) contractions (XLA, matmul-shaped)."""
+    bsz, h, wd, c = x.shape
+    ho, wo = g.shape[1], g.shape[2]
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     taps = []
+    gf = g.reshape(-1, g.shape[-1])
     for dy in range(3):
         for dx in range(3):
-            xs = xp[:, dy : dy + h, dx : dx + wd, :].reshape(-1, c)
+            xs = x[:, dy : dy + ho, dx : dx + wo, :].reshape(-1, c)
             taps.append(
-                jnp.dot(xs.T, g.reshape(-1, g.shape[-1]),
-                        preferred_element_type=jnp.float32)
+                jnp.dot(xs.T, gf, preferred_element_type=jnp.float32)
             )
     return jnp.stack(taps, 0).reshape(3, 3, c, g.shape[-1])
 
 
-@jax.custom_vjp
-def pallas_conv3x3(x: jax.Array, w: jax.Array) -> jax.Array:
-    """3x3 stride-1 SAME NHWC conv; falls back to lax.conv off-TPU."""
-    return _pallas_conv3x3_raw(x, w)
+def _flip_t(w: jax.Array) -> jax.Array:
+    return jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
 
 
-def _fwd(x, w):
-    return _pallas_conv3x3_raw(x, w), (x, w)
+def _make(pad_fwd: int):
+    """custom_vjp conv with static forward padding (1=SAME, 0=VALID)."""
+
+    @jax.custom_vjp
+    def conv(x, w, b):
+        return _pallas_conv3x3_raw(x, w, b, pad=pad_fwd)
+
+    def fwd(x, w, b):
+        return conv(x, w, b), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        zero = jnp.zeros((w.shape[2],), x.dtype)
+        # dgrad: conv of g with flipped/transposed weights at pad 2-pad_fwd
+        # (SAME stays SAME; VALID's dgrad is the full conv) — reuse kernel.
+        dx = _pallas_conv3x3_raw(
+            g.astype(x.dtype), _flip_t(w).astype(x.dtype), zero,
+            pad=2 - pad_fwd)
+        dw = _wgrad(x, g, pad_fwd).astype(w.dtype)
+        db = jnp.sum(g, axis=(0, 1, 2)).astype(w.dtype)
+        return dx, dw, db
+
+    conv.defvjp(fwd, bwd)
+    return conv
 
 
-def _bwd(res, g):
-    x, w = res
-    # dgrad: conv of g with flipped/transposed weights — reuse the kernel.
-    w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
-    dx = _pallas_conv3x3_raw(g.astype(x.dtype), w_flip.astype(x.dtype))
-    dw = _wgrad(x, g).astype(w.dtype)
-    return dx, dw
+# SAME zero padding: drop-in for lax.conv(..., "SAME") (ResNet 3x3s).
+pallas_conv3x3 = _make(1)
+# VALID on an already (H+2, W+2)-padded input: compose with reflect_pad
+# for the decoders' ConvReflect3x3 (autodiff of the pad handles fold-back).
+pallas_conv3x3_valid = _make(0)
 
 
-pallas_conv3x3.defvjp(_fwd, _bwd)
+def use_pallas_conv(c_in: int, c_out: int, h: int, w: int,
+                    itemsize: int = 2) -> bool:
+    """Eligibility: TPU backend + the kernel's VMEM shape limits.
+
+    The win regime is shallow/medium channels at large spatial dims, where
+    XLA's conv lowering runs at 1/20th matmul throughput; measured
+    crossover on v5e in `benchmarks/convbench3.py`.
+    """
+    if not HAVE_PALLAS_TPU or _interpret():
+        return False
+    if h < 8 or w < 8 or h % 2 or w % 2:
+        return False
+    # weights (9C x O) + one input row block must fit VMEM comfortably
+    if 9 * c_in * c_out * itemsize > 4 * 1024 * 1024:
+        return False
+    return (w + 2) * c_in * itemsize * 3 < 2 * 1024 * 1024
 
 
 def conv3x3_auto(x: jax.Array, w: jax.Array, use_pallas: bool = True) -> jax.Array:
     """Pallas path when available/applicable, else the XLA conv."""
-    if (
-        use_pallas
-        and HAVE_PALLAS_TPU
-        and jax.devices()[0].platform != "cpu"
-        and x.shape[-1] * 9 * x.dtype.itemsize * x.shape[2] < 4 * 1024 * 1024
-    ):
-        return pallas_conv3x3(x, w)
-    return _ref_conv(x, w)
+    if use_pallas and use_pallas_conv(
+            x.shape[-1], w.shape[-1], x.shape[1], x.shape[2],
+            x.dtype.itemsize):
+        return pallas_conv3x3(x, w, jnp.zeros((w.shape[-1],), x.dtype))
+    return _ref_conv(x, w, 1)
