@@ -119,20 +119,29 @@ class EvalHook:
                             upd(k, v)
 
             if self.with_layout:
-                road_pred = np.argmax(np.asarray(out["topview"]), axis=-1)
-                veh_pred = np.argmax(np.asarray(out["topviewB"]), axis=-1)
-                road_gt = np.asarray(batch["bev_static"]).astype(np.int64)
-                veh_gt = np.asarray(batch["bev_dynamic"]).astype(np.int64)
-                for i in range(road_pred.shape[0]):
-                    if not valid[i]:
-                        continue
-                    if model_type in ("static", "static_raw", "Argo_static", "Argo_both"):
+                # Branch outputs may be absent under skip_inactive_branch.
+                road_out = out.get("topview")
+                veh_out = out.get("topviewB")
+                n_b = int(np.asarray(batch["bev_static"]).shape[0])
+                if model_type in ("static", "static_raw", "Argo_static",
+                                  "Argo_both") and road_out is not None:
+                    road_pred = np.argmax(np.asarray(road_out), axis=-1)
+                    road_gt = np.asarray(batch["bev_static"]).astype(np.int64)
+                    for i in range(n_b):
+                        if not valid[i]:
+                            continue
                         iou = mean_iu(road_pred[i], road_gt[i])
                         prec = mean_precision(road_pred[i], road_gt[i])
                         if len(iou) > 1:
                             upd("road_iou", iou[1])
                             upd("road_map", prec[1])
-                    if model_type in ("dynamic", "Argo_dynamic", "Argo_both"):
+                if model_type in ("dynamic", "Argo_dynamic",
+                                  "Argo_both") and veh_out is not None:
+                    veh_pred = np.argmax(np.asarray(veh_out), axis=-1)
+                    veh_gt = np.asarray(batch["bev_dynamic"]).astype(np.int64)
+                    for i in range(n_b):
+                        if not valid[i]:
+                            continue
                         iou = mean_iu(veh_pred[i], veh_gt[i])
                         prec = mean_precision(veh_pred[i], veh_gt[i])
                         if len(iou) > 1:

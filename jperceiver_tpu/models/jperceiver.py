@@ -62,6 +62,13 @@ class JPerceiver(nn.Module):
     # backward pass instead of keeping them in HBM. Essential at 1024^2 on
     # 16 GB chips (a single decoder activation there is ~0.8 GB).
     remat: bool = False
+    # Which BEV branches to compute: "both" (reference parity — `net.py:75`
+    # runs both branches even for single-branch configs, kept alive under
+    # jit by their BatchNorm stat updates), "road", or "vehicle". Skipping
+    # the inactive branch removes its forward AND its params/stats from the
+    # tree (single-branch checkpoints are therefore smaller; torch imports
+    # simply skip the absent leaves).
+    branches: str = "both"
 
     @classmethod
     def from_config(cls, cfg):
@@ -81,7 +88,21 @@ class JPerceiver(nn.Module):
             min_depth=cfg.get("min_depth", 0.1),
             max_depth=cfg.get("max_depth", 100.0),
             remat=bool(cfg.get("remat", False)),
+            branches=cls._branches_from_cfg(cfg),
         )
+
+    @staticmethod
+    def _branches_from_cfg(cfg) -> str:
+        """`skip_inactive_branch=True` narrows to the branch cfg.type trains;
+        default keeps reference parity (both branches computed)."""
+        if not cfg.get("skip_inactive_branch", False):
+            return "both"
+        t = cfg.get("type", "static")
+        if t in ("static", "static_raw", "Argo_static"):
+            return "road"
+        if t in ("dynamic", "Argo_dynamic"):
+            return "vehicle"
+        return "both"  # Argo_both trains both branches
 
     def setup(self):
         if self.remat:
@@ -171,16 +192,18 @@ class JPerceiver(nn.Module):
         outputs = dict(self.depth_decoder(depth_feats, train))
 
         enc_feat = self.layout_encoder(color_aug0, train)
-        road = self._layout_branch(
-            enc_feat, depth_feats[-1], self.cvp, self.cct,
-            self.layout_decoder, self.layout_transform_decoder, train,
-        )
-        outputs.update(road)
-        vehicle = self._layout_branch(
-            enc_feat, depth_feats[-1], self.cvp_b, self.cct_b,
-            self.layout_decoder_b, self.layout_transform_decoder_b, train,
-        )
-        outputs.update({f"{k}B": v for k, v in vehicle.items()})
+        if self.branches in ("both", "road"):
+            road = self._layout_branch(
+                enc_feat, depth_feats[-1], self.cvp, self.cct,
+                self.layout_decoder, self.layout_transform_decoder, train,
+            )
+            outputs.update(road)
+        if self.branches in ("both", "vehicle"):
+            vehicle = self._layout_branch(
+                enc_feat, depth_feats[-1], self.cvp_b, self.cct_b,
+                self.layout_decoder_b, self.layout_transform_decoder_b, train,
+            )
+            outputs.update({f"{k}B": v for k, v in vehicle.items()})
 
         if with_pose is None:
             with_pose = train

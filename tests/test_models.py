@@ -122,6 +122,48 @@ def test_jperceiver_forward_contract():
     np.testing.assert_allclose(T[0], np.eye(4), atol=0.2)
 
 
+def test_branch_skip_matches_dual_branch():
+    """branches="road" drops the vehicle forward AND its params while the
+    road outputs stay bit-identical (Flax path-folded init RNG makes shared
+    modules' params independent of the other branch's presence)."""
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(1, 128, 128, 32).items()}
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+
+    outs = {}
+    for branches in ("both", "road"):
+        model = JPerceiver(height=128, width=128, occ_map_size=32,
+                           branches=branches)
+        variables = model.init(rngs, batch, train=True)
+        if branches == "road":
+            assert "cvp_b" not in variables["params"]
+            assert "layout_decoder_b" not in variables["params"]
+        else:
+            assert "cvp_b" in variables["params"]
+        outs[branches] = model.apply(
+            variables, batch, train=True,
+            rngs={"dropout": jax.random.key(2)}, mutable=["batch_stats"],
+        )[0]
+
+    assert "topviewB" not in outs["road"]
+    assert "topviewB" in outs["both"]
+    for key in ("topview", "transform_topview", "disp/0", "cam_T_cam/1"):
+        np.testing.assert_array_equal(
+            np.asarray(outs["both"][key]), np.asarray(outs["road"][key]))
+
+    # from_config derivation of the knob
+    from jperceiver_tpu.config import Config
+
+    cfg = Config.fromdict(dict(type="static", skip_inactive_branch=True,
+                               height=128, width=128, occ_map_size=32))
+    assert JPerceiver.from_config(cfg).branches == "road"
+    cfg2 = Config.fromdict(dict(type="dynamic", skip_inactive_branch=True))
+    assert JPerceiver.from_config(cfg2).branches == "vehicle"
+    cfg3 = Config.fromdict(dict(type="Argo_both", skip_inactive_branch=True))
+    assert JPerceiver.from_config(cfg3).branches == "both"
+    cfg4 = Config.fromdict(dict(type="static"))
+    assert JPerceiver.from_config(cfg4).branches == "both"
+
+
 def test_stem_conv_matches_plain_conv():
     """StemConv (space-to-depth 7x7/s2) == nn.Conv(7,7,s2,pad3) bitwise-ish."""
     import flax.linen as nn
@@ -140,3 +182,53 @@ def test_stem_conv_matches_plain_conv():
         assert y1.shape == y2.shape
         np.testing.assert_allclose(
             np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5)
+
+
+def test_per_replica_batchnorm_groups():
+    """Grouped BN == per-shard DDP semantics: each batch block normalized
+    by its own moments; groups=1 identical to flax nn.BatchNorm."""
+    import flax.linen as nn
+
+    from jperceiver_tpu.models.common import BatchNorm, per_replica_bn
+
+    rng = np.random.default_rng(3)
+    # two batch halves with very different statistics
+    x = np.concatenate(
+        [rng.standard_normal((2, 4, 4, 8)),
+         5.0 + 3.0 * rng.standard_normal((2, 4, 4, 8))]).astype(np.float32)
+    x = jnp.asarray(x)
+
+    bn = BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    v = bn.init(jax.random.key(0), x)
+    assert set(v["params"]) == {"scale", "bias"}
+    assert set(v["batch_stats"]) == {"mean", "var"}
+
+    # groups=1: bit-identical to the stock flax BatchNorm
+    y1, m1 = bn.apply(v, x, mutable=["batch_stats"])
+    yr, mr = ref.apply(v, x, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(yr))
+    np.testing.assert_array_equal(
+        np.asarray(m1["batch_stats"]["mean"]), np.asarray(mr["batch_stats"]["mean"]))
+
+    # groups=2: per-half moments -> each half's output is zero-mean/unit-var,
+    # and the result DIFFERS from the synced (global) normalization.
+    with per_replica_bn(2):
+        y2, m2 = bn.apply(v, x, mutable=["batch_stats"])
+    y2 = np.asarray(y2)
+    assert np.abs(y2 - np.asarray(y1)).max() > 0.1
+    for half in (y2[:2], y2[2:]):
+        np.testing.assert_allclose(half.mean(axis=(0, 1, 2)), 0.0, atol=1e-4)
+        np.testing.assert_allclose(half.std(axis=(0, 1, 2)), 1.0, atol=1e-3)
+    # running stats: across-group average of per-group moments
+    xf = np.asarray(x, np.float64)
+    mus = np.stack([xf[:2].mean(axis=(0, 1, 2)), xf[2:].mean(axis=(0, 1, 2))])
+    np.testing.assert_allclose(
+        np.asarray(m2["batch_stats"]["mean"]), 0.1 * mus.mean(0), rtol=1e-4)
+
+    # eval mode ignores grouping entirely
+    bn_eval = BatchNorm(use_running_average=True)
+    with per_replica_bn(2):
+        ye = bn_eval.apply(v, x)
+    ye2 = nn.BatchNorm(use_running_average=True).apply(v, x)
+    np.testing.assert_array_equal(np.asarray(ye), np.asarray(ye2))
