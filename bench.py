@@ -37,6 +37,12 @@ import sys
 import time
 
 BASELINE_FPS = 8.0  # estimated PyTorch per-A100 frames/s at this config
+NORTH_STAR_X = 4.0  # BASELINE.md:31 — >=4x the baseline in f/s/chip
+# Measured matmul roofline of THIS (degraded, tunnelled) v5e chip
+# (`benchmarks/roofline.py`: 103 TFLOP/s on an 8192^2 bf16 matmul). MFU
+# below is vs this measured ceiling, not nominal v5e peak (197 TFLOP/s) —
+# the chip never reaches nominal through the tunnel.
+MEASURED_ROOFLINE_TFLOPS = 103.0
 
 
 def main() -> None:
@@ -56,6 +62,7 @@ def main() -> None:
     from jperceiver_tpu.models import JPerceiver
 
     quick = "--quick" in sys.argv
+    pconv = "--pallas-conv" in sys.argv
     h = w = 256 if quick else 1024
     occ = h // 4
     # B=1 is the single-chip sweet spot at 1024^2 on 16 GB HBM: B>=2 spills
@@ -78,6 +85,8 @@ def main() -> None:
             lr_config=dict(policy="step", warmup=None, step=[50]),
         )
     )
+    if pconv:
+        cfg.use_pallas_conv = True
     model = JPerceiver(height=h, width=w, occ_map_size=occ,
                        dtype=_jnp.bfloat16)
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(batch_size, h, w, occ).items()}
@@ -86,6 +95,14 @@ def main() -> None:
     step = make_train_step(model, cfg)
 
     rng = jax.random.key(1)
+    # FLOP count from XLA cost analysis of the whole compiled step.
+    try:
+        cost = step.lower(state, batch, rng).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
     state, metrics = step(state, batch, rng)  # compile
     float(metrics["loss"])  # NOTE: block_until_ready is a no-op on the
     # tunnelled TPU platform — a scalar fetch is the only honest sync.
@@ -112,6 +129,13 @@ def main() -> None:
                 # throughput; see module docstring), flagged per VERDICT r1.
                 "baseline_is_estimate": True,
                 "baseline_fps_per_gpu_est": BASELINE_FPS,
+                # The real goal (BASELINE.md:31): >=4x baseline = 32 f/s/chip.
+                "vs_north_star": round(fps / (NORTH_STAR_X * BASELINE_FPS), 3),
+                # Effective FLOP/s vs this chip's MEASURED matmul roofline
+                # (103 TFLOP/s, benchmarks/roofline.py) — not nominal peak.
+                "tflops_per_frame": round(step_flops / batch_size / 1e12, 3),
+                "mfu_vs_measured_roofline": round(
+                    step_flops / dt / (MEASURED_ROOFLINE_TFLOPS * 1e12), 4),
             }
         )
     )

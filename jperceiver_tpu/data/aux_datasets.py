@@ -258,20 +258,21 @@ class NuscenesDataset(KittiBase):
         K[0, 2], K[1, 2] = cx * 1600, cy * 900
         return K, np.eye(4, dtype=np.float32)
 
-    def __getitem__(self, index):
-        sample = super().__getitem__(index)
-        line = self.filenames[index]
-        flip = False  # labels below are deterministic extras for eval use
+    def extra_labels(self, line, flip):
+        # Receives the sample's actual flip so train-time augmentation keeps
+        # images and these labels aligned (previously hardcoded flip=False,
+        # a latent image/label mismatch if anyone trained on nuScenes).
+        extras = {}
         try:
             both = pil_open_rgb(self.both_label_path(line)).convert("L")
-            sample["bev_both"] = process_topview_both(
+            extras["bev_both"] = process_topview_both(
                 both, self.occ_map_size, flip)
         except (FileNotFoundError, OSError):
             pass
         try:
             dyn = pil_open_rgb(self.dynamic_label_path(line)).convert("L")
-            sample["bev_dynamic"] = process_topview(
+            extras["bev_dynamic"] = process_topview(
                 dyn, self.occ_map_size, flip)
         except (FileNotFoundError, OSError):
             pass
-        return sample
+        return extras

@@ -220,7 +220,14 @@ class KittiBase:
             gt = self.gt_depth(line, do_flip)
             if gt is not None:
                 sample["gt_depth"] = gt.astype(np.float32)
+        # Subclass hook receiving THIS sample's flip decision, so extra
+        # labels stay aligned with the (possibly flipped) images.
+        sample.update(self.extra_labels(line, do_flip))
         return sample
+
+    def extra_labels(self, line: str, flip: bool) -> dict:
+        """Dataset-specific additional labels; default none."""
+        return {}
 
 
 class KittiOdometry(KittiBase):

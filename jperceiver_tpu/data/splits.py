@@ -2,15 +2,31 @@
 
 Parity with `mono/datasets/get_dataset.py:9-42`: `cfg.data` selects the
 dataset class and the split file `<split_dir>/<split>/{train,val}_files.txt`.
-The reference ships its split lists inside the repo; here `split_dir` is
-configurable (point it at the reference's `mono/datasets/splits` or your
-own), and `scan_*` helpers can regenerate lists from a dataset tree.
+Like the reference, the standard split lists ship inside the package
+(`data/artifacts/splits`, the default `split_dir`); `split_dir` stays
+configurable and `scan_*` helpers can regenerate lists from a dataset tree.
 """
 
 from __future__ import annotations
 
 import os
 from typing import Sequence
+
+ARTIFACTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "artifacts")
+
+
+def default_split_dir() -> str | None:
+    """The packaged split lists (parity with the reference shipping its
+    lists in-repo, `mono/datasets/splits/`); None if absent."""
+    d = os.path.join(ARTIFACTS_DIR, "splits")
+    return d if os.path.isdir(d) else None
+
+
+def default_gt_pose_dir() -> str | None:
+    """Packaged KITTI odometry GT poses (reference `mono/datasets/gt_pose/`)."""
+    d = os.path.join(ARTIFACTS_DIR, "gt_pose")
+    return d if os.path.isdir(d) else None
 
 
 def readlines(path: str) -> list[str]:
@@ -71,11 +87,11 @@ def get_dataset(data_cfg, training: bool = True, with_sdf: bool = False,
             is_train=training,
         )
 
-    split_dir = data_cfg.get("split_dir")
+    split_dir = data_cfg.get("split_dir") or default_split_dir()
     if split_dir is None:
         raise ValueError(
             "data.split_dir must point at a splits directory "
-            "(e.g. the reference's mono/datasets/splits)"
+            "(the packaged data/artifacts/splits is missing)"
         )
     filenames = readlines(split_file(split_dir, data_cfg["split"], training))
 

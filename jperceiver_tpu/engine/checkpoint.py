@@ -531,6 +531,17 @@ def apply_pretrained_encoders(state, model_cfg):
     l_path = model_cfg.get("layout_pretrained_path", d_path)
     if l_path:
         jobs.append((l_path, depth, 1, ("layout_encoder", "resnet_encoder")))
+    elif jobs:
+        # The reference's layout trunk is ALWAYS ImageNet-pretrained
+        # (`ResnetEncoder.py:69`, pretrained=True); if only pose weights were
+        # given the layout trunk here stays randomly initialized — warn.
+        import logging
+
+        logging.getLogger("jperceiver_tpu").warning(
+            "pretrained init: layout_pretrained_path resolves to None while "
+            "other pretrained paths are set — layout trunk stays random "
+            "(reference uses ImageNet weights there)"
+        )
     if not jobs:
         return state
 

@@ -137,8 +137,14 @@ def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """3x3 stride-2 SAME max-pool, NHWC, with equality-mask backward.
 
     Tie semantics: gradients route to EVERY maximal element of a window
-    (torch/XLA pick one) — measure-zero difference on continuous
-    activations, verified equal on random inputs in the parity tests.
+    (torch/XLA pick one). On truly continuous activations ties are
+    measure-zero, but the stem pool input is post-ReLU where zero plateaus
+    make ties COMMON — there, this backward routes the cotangent to every
+    tied zero instead of one. All tied elements sit at the ReLU kink where
+    the subgradient is {0..g} anyway, and training parity was verified
+    empirically (round-2 overfit runs); divide by the tie count if exact
+    torch routing is ever needed. Verified equal on random (tie-free)
+    inputs in the parity tests.
     """
     return _pool3s2_ref(x)
 

@@ -154,6 +154,12 @@ def _edt_sq(mask: jax.Array, big: float = 1e12) -> jax.Array:
     (0 on background). Two separable min-plus passes — each is a broadcast
     min-reduction that XLA tiles onto the VPU; no host round-trip, unlike
     the reference's per-step scipy EDT (`boundary_loss.py:214-251`).
+
+    Size bound: the second pass materializes a (B, H, H, W) broadcast —
+    O(H·W·max(H,W)) memory. Fine at BEV sizes (256²: ~67 MB fp32/batch);
+    do NOT call at image resolution (1024² would need ~4 GB). If
+    image-resolution Hausdorff is ever wanted, switch to the O(HW)
+    two-pass Felzenszwalb lower-envelope EDT instead.
     """
     b, h, w = mask.shape
     cols = jnp.arange(w, dtype=jnp.float32)

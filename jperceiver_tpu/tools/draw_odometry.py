@@ -22,7 +22,9 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--sequence", default="09")
-    p.add_argument("--gt_dir", default=None, help="dir with <seq>.txt GT poses")
+    p.add_argument("--gt_dir", default=None,
+                   help="dir with <seq>.txt GT poses; defaults to the "
+                        "packaged data/artifacts/gt_pose (KITTI 00-12)")
     p.add_argument("--out", required=True)
     p.add_argument("--epoch", type=int, default=None)
     args = p.parse_args(argv)
@@ -83,6 +85,10 @@ def main(argv=None):
     save_kitti_poses(pred_path, np.asarray(rows))
     print(f"saved {len(rows)} poses -> {pred_path}")
 
+    if args.gt_dir is None:
+        from ..data.splits import default_gt_pose_dir
+
+        args.gt_dir = default_gt_pose_dir()
     if args.gt_dir:
         ev = KittiOdomEval(args.gt_dir, args.out, align_scale=True)
         res = ev.eval_sequence(args.sequence)

@@ -21,6 +21,8 @@ def main(argv=None) -> None:
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--height", type=int, default=None,
                    help="override input resolution (and occ=h//4)")
+    p.add_argument("--pallas-conv", action="store_true",
+                   help="route eligible 3x3 convs through the Pallas kernel")
     args = p.parse_args(argv)
 
     import os
@@ -43,6 +45,9 @@ def main(argv=None) -> None:
         model_cfg = cfg.model
         for key in ("type", "split"):
             model_cfg.setdefault(key, cfg.data.get(key, "static"))
+        if args.height:  # apply BEFORE build_model so geometry constants match
+            model_cfg.height = model_cfg.width = args.height
+            model_cfg.occ_map_size = args.height // 4
         model = build_model(model_cfg)
         h, w, occ = model_cfg.height, model_cfg.width, model_cfg.occ_map_size
     else:
@@ -63,9 +68,8 @@ def main(argv=None) -> None:
                  lr_config=dict(policy="step", warmup=None, step=[50])))
         model = JPerceiver(height=h, width=w, occ_map_size=occ,
                            dtype=jnp.bfloat16)
-    if args.height:
-        h = w = args.height
-        occ = h // 4
+    if args.pallas_conv:
+        model_cfg.use_pallas_conv = True
 
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(1, h, w, occ).items()}
     tx, _ = build_optimizer(model_cfg, 1000)
