@@ -181,11 +181,14 @@ class Conv3x3(nn.Module):
             f = pallas_conv3x3 if self.mode == "same" else pallas_conv3x3_valid
             return f(xd, k, b)
         pad = [(1, 1), (1, 1)] if self.mode == "same" else [(0, 0), (0, 0)]
+        # No preferred_element_type here: with bf16 operands an f32-typed
+        # output makes the conv TRANSPOSE rule mix an f32 cotangent with
+        # the bf16 kernel (lax rejects mixed dtypes). nn.Conv semantics —
+        # output in compute dtype; TPU convs accumulate fp32 internally.
         y = jax.lax.conv_general_dilated(
             xd, k, (self.strides, self.strides), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(xd.dtype)
+        )
         return y + b if self.use_bias else y
 
 
