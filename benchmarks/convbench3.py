@@ -14,7 +14,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-K = 10  # chained iterations per timed program
+K = 100  # chained iterations per timed program (fori_loop, compiled once)
 
 
 def main():
@@ -57,32 +57,40 @@ def main():
         b = jnp.zeros((o,), jnp.bfloat16)
         flops = 2 * xs[0] * xs[1] * xs[2] * c * o * 9 * K
         row = {"case": name}
-        for label, f in (("xla", xla_conv), ("pallas", pallas_conv3x3)):
+
+        def null_conv(x, w, b):  # loop/dependency floor to subtract
+            return x[..., :1] * 1.0
+
+        def timed(f, with_bwd=with_bwd):
             if with_bwd:
-                def one(x, w, b, f=f):
+                def one(x, w, b):
                     def loss(x, w, b):
                         return jnp.sum(f(x, w, b).astype(jnp.float32))
                     l, (gx, gw) = jax.value_and_grad(
                         loss, argnums=(0, 1))(x, w, b)
                     return l + jnp.sum(gx).astype(jnp.float32) + jnp.sum(gw)
             else:
-                def one(x, w, b, f=f):
+                def one(x, w, b):
                     return jnp.sum(f(x, w, b).astype(jnp.float32))
 
             @jax.jit
-            def many(x, w, b, one=one):
-                acc = jnp.float32(0)
-                for _ in range(K):
-                    acc = acc + one(x + acc * 1e-30, w, b)
-                return acc
+            def many(x, w, b):
+                def body(_, acc):
+                    return acc + one(x + (acc * 1e-30).astype(x.dtype), w, b)
+                return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
             float(many(x, w, b))  # compile + warm
             t0 = time.perf_counter()
             float(many(x, w, b))  # scalar fetch = the only honest sync
-            dt = time.perf_counter() - t0
+            return time.perf_counter() - t0
+
+        floor = timed(null_conv, with_bwd=False)
+        for label, f in (("xla", xla_conv), ("pallas", pallas_conv3x3)):
+            dt = max(timed(f) - floor, 1e-9)
             mult = 3 if with_bwd else 1  # fwd+dgrad+wgrad
             row[f"{label}_ms"] = round(dt / K * 1e3, 3)
             row[f"{label}_tflops"] = round(flops * mult / dt / 1e12, 2)
+        row["floor_ms_per_iter"] = round(floor / K * 1e3, 3)
         row["speedup"] = round(row["xla_ms"] / row["pallas_ms"], 2)
         print(json.dumps(row), flush=True)
 

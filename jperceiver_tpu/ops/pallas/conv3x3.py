@@ -74,15 +74,28 @@ def _fwd_kernel(x_ref, w_ref, b_ref, out_ref):
     out_ref[0] = acc.reshape(th, wd, o).astype(out_ref.dtype)
 
 
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def _row_tile(h: int, w: int, c: int, o: int, itemsize: int) -> int:
-    budget = 9 * 1024 * 1024  # leave headroom under the ~16 MB VMEM
+    """Largest row tile whose VMEM footprint fits, in HARDWARE-PADDED sizes:
+    Mosaic tiles the last dim to 128 lanes and the second-to-last to 8 (fp32)
+    / 16 (bf16) sublanes, so a C=16 buffer occupies 128 lanes regardless
+    (ignoring this OOM'd the scoped-vmem allocator at 27.7 MB on the O=2
+    topview head)."""
+    budget = 10 * 1024 * 1024  # headroom under the ~16 MB VMEM
+    sub = 8 if itemsize == 4 else 16
+    c_eff = _pad_to(c, 128)
+    o_eff = _pad_to(o, 128)
     for t in (64, 32, 16, 8, 4, 2, 1):
         if h % t:
             continue
-        tile_in = (t + 2) * (w + 2) * c * itemsize
-        taps = 2 * t * w * c * itemsize  # live tap slices during the dots
-        tile_out = t * w * o * 4
-        if 2 * tile_in + taps + tile_out <= budget:
+        tile_in = 2 * _pad_to(t + 2, sub) * (w + 2) * c_eff * itemsize
+        acc = _pad_to(t * w, sub) * o_eff * 4  # fp32 accumulator
+        taps = 2 * _pad_to(t * w, sub) * c_eff * itemsize
+        tile_out = 2 * _pad_to(t * w, sub) * o_eff * itemsize
+        if tile_in + acc + taps + tile_out <= budget:
             return t
     return 1
 
@@ -177,20 +190,29 @@ pallas_conv3x3_valid = _make(0)
 
 def use_pallas_conv(c_in: int, c_out: int, h: int, w: int,
                     itemsize: int = 2) -> bool:
-    """Eligibility: TPU backend + the kernel's VMEM shape limits.
+    """Eligibility: TPU backend + the per-op chained bench's win regime.
 
-    The win regime is shallow/medium channels at large spatial dims, where
-    XLA's conv lowering runs at 1/20th matmul throughput; measured
-    crossover on v5e in `benchmarks/convbench3.py`.
+    MEASURED NEGATIVE on the whole step (round 3) — the flag stays off
+    by default. Per-op chained benches (`benchmarks/convbench3.py`)
+    suggested a win for shallow channels at large spatial dims (64-128
+    ch: 1.05-1.27x) with losses at 256 ch (0.74-0.93x, XLA's own
+    lowering is already matmul-class there) and <=32 ch (3/4 of the
+    padded 128-lane MXU operand wasted either way). But the decisive
+    whole-step flagship bench LOST in both configurations:
+    all sites 7.35 f/s, this restricted gate 6.84 f/s, vs 8.24 f/s for
+    XLA's lowering (bench.py --pconv). In-step, XLA fuses the
+    surrounding elementwise/BN/ReLU work into its conv loops; the
+    custom_call is a fusion barrier that re-reads activations from HBM,
+    which the standalone bench cannot see. Kept as an experimental
+    knob (`cfg.use_pallas_conv`) with full fwd/bwd parity tests.
     """
     if not HAVE_PALLAS_TPU or _interpret():
         return False
     if h < 8 or w < 8 or h % 2 or w % 2:
         return False
-    # weights (9C x O) + one input row block must fit VMEM comfortably
-    if 9 * c_in * c_out * itemsize > 4 * 1024 * 1024:
+    if not (48 <= c_in <= 128 and c_out <= 128):
         return False
-    return (w + 2) * c_in * itemsize * 3 < 2 * 1024 * 1024
+    return h * w >= 16384  # >= 128^2-class spatial extent
 
 
 def conv3x3_auto(x: jax.Array, w: jax.Array, use_pallas: bool = True) -> jax.Array:
