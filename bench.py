@@ -63,6 +63,10 @@ def main() -> None:
 
     quick = "--quick" in sys.argv
     pconv = "--pallas-conv" in sys.argv
+    # Skip the inactive BEV branch's forward (config-gated knob; the
+    # reference computes both branches even for single-branch configs, so
+    # the DEFAULT keeps parity and this flag measures the saving).
+    skip_branch = "--skip-branch" in sys.argv
     h = w = 256 if quick else 1024
     occ = h // 4
     # B=1 is the single-chip sweet spot at 1024^2 on 16 GB HBM: B>=2 spills
@@ -87,8 +91,11 @@ def main() -> None:
     )
     if pconv:
         cfg.use_pallas_conv = True
+    if skip_branch:
+        cfg.skip_inactive_branch = True
     model = JPerceiver(height=h, width=w, occ_map_size=occ,
-                       dtype=_jnp.bfloat16)
+                       dtype=_jnp.bfloat16,
+                       branches="road" if skip_branch else "both")
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(batch_size, h, w, occ).items()}
     tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
     state = create_train_state(model, tx, batch, jax.random.key(0))

@@ -46,7 +46,8 @@ def build(h=1024, batch_size=1):
             lr_config=dict(policy="step", warmup=None, step=[50]),
         )
     )
-    model = JPerceiver(height=h, width=w, occ_map_size=occ)
+    dtype = jnp.bfloat16 if os.environ.get("JP_ABLATE_BF16") else jnp.float32
+    model = JPerceiver(height=h, width=w, occ_map_size=occ, dtype=dtype)
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(batch_size, h, w, occ).items()}
     tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
     state = create_train_state(model, tx, batch, jax.random.key(0))
@@ -307,7 +308,8 @@ def build_fwd_only(h=1024, batch_size=1):
 
     w = h
     occ = 256 if h >= 1024 else h // 4
-    model = JPerceiver(height=h, width=w, occ_map_size=occ)
+    dtype = jnp.bfloat16 if os.environ.get("JP_ABLATE_BF16") else jnp.float32
+    model = JPerceiver(height=h, width=w, occ_map_size=occ, dtype=dtype)
     cfg = Config.fromdict(dict(
         type="static", split="odometry", frame_ids=[0, -1, 1],
         scales=[0, 1, 2, 3], height=h, width=w, occ_map_size=occ,

@@ -20,6 +20,10 @@ def measure(batch_size: int, remat: bool, dtype: str, h: int = 1024,
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
     from jperceiver_tpu.config import Config
     from jperceiver_tpu.data import synthetic_batch
     from jperceiver_tpu.engine import build_optimizer, create_train_state, make_train_step
@@ -73,14 +77,24 @@ def measure(batch_size: int, remat: bool, dtype: str, h: int = 1024,
 def main() -> None:
     quick = "--quick" in sys.argv
     h = 256 if quick else 1024
+    # remat is False / "enc" / "dec" / True (= all trunks). The const-image
+    # warp VJP (round 3) cut ~2 GB of backward residuals, so B=2 un-remat'd
+    # and the selective modes are the interesting rows now.
     configs = [
-        (1, False, "fp32"),
-        (2, True, "fp32"),
-        (3, True, "fp32"),
-        (2, True, "bf16"),
+        (2, False, "bf16"),
+        (2, "enc", "bf16"),
+        (2, "dec", "bf16"),
+        (3, "enc", "bf16"),
         (3, True, "bf16"),
         (4, True, "bf16"),
     ]
+    args = [a for a in sys.argv[1:] if a != "--quick"]
+    if args:  # e.g. `sweep.py 2:enc:bf16 3:False:bf16`
+        def parse(s):
+            b, r, dt = s.split(":")
+            r = {"False": False, "True": True}.get(r, r)
+            return int(b), r, dt
+        configs = [parse(a) for a in args]
     for b, remat, dt in configs:
         try:
             r = measure(b, remat, dt, h=h)

@@ -65,16 +65,21 @@ def _sample_tex(tex, u, v, scale=6.0):
     )
 
 
-def render_frame(tex_ground, tex_wall, K3, height, width, cam_z):
+def render_frame(tex_ground, tex_wall, K3, height, width, cam_z,
+                 wall_z: float | None = None):
     """Render the scene from camera position (0, 0, cam_z); returns
-    (image (H,W,3), gt_depth (H,W))."""
+    (image (H,W,3), gt_depth (H,W)). `wall_z` overrides the far-wall
+    position (long odometry sequences park it beyond the drive length so
+    the camera never reaches it)."""
     fx, fy = K3[0, 0], K3[1, 1]
     cx, cy = K3[0, 2], K3[1, 2]
     us, vs = np.meshgrid(np.arange(width), np.arange(height))
     up = (us - cx) / fx
     vp = (vs - cy) / fy
 
-    wall_depth = WALL_Z - cam_z  # the wall is at world z, so it parallaxes
+    if wall_z is None:
+        wall_z = WALL_Z
+    wall_depth = wall_z - cam_z  # the wall is at world z, so it parallaxes
     eps = CAMERA_HEIGHT / wall_depth
     ground = vp > eps
     depth = np.where(ground, CAMERA_HEIGHT / np.maximum(vp, 1e-6), wall_depth)
@@ -89,63 +94,108 @@ def render_frame(tex_ground, tex_wall, K3, height, width, cam_z):
     return img.astype(np.float32), depth.astype(np.float32)
 
 
-def simulated_batch(batch=2, height=256, width=256, seed=0):
-    """A training batch of consistent 3-frame scenes + analytic GT.
-
-    Returns (batch_dict, gt) with gt = {"depth": (B,H,W), "T_fwd": (B,4,4)}.
-    The intrinsics ARE the render intrinsics (unlike KITTI's normalized-K
-    convention) so the photometric geometry is exact.
-    """
-    rng = np.random.default_rng(seed)
-    occ = height // 4
-
+def scene_calib(height: int, width: int):
+    """(K, inv_K, Tr_cam2_velo) of the rendered camera."""
     K = np.eye(4, dtype=np.float32)
     K[0, 0] = K[1, 1] = 0.9 * width
     K[0, 2] = width / 2.0
     K[1, 2] = height / 2.0
     inv_K = np.linalg.inv(K).astype(np.float32)
-
     # cam <- ego(z-up): x_c=-y_e, y_c=-z_e, z_c=x_e — the canonical KITTI
     # permutation with zero offset, consistent with the rendered geometry.
     Tr = np.array(
         [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]], np.float32
     )
+    return K, inv_K, Tr
 
-    color = np.zeros((batch, 3, height, width, 3), np.float32)
-    gt_depth = np.zeros((batch, height, width), np.float32)
-    T_fwd = np.zeros((batch, 4, 4), np.float32)
-    for b in range(batch):
-        tex_g = _texture(np.random.default_rng(seed * 97 + b))
-        tex_w = _texture(np.random.default_rng(seed * 97 + b + 31))
-        for i, f in enumerate((0, -1, 1)):
-            img, depth = render_frame(
-                tex_g, tex_w, K, height, width, cam_z=f * STEP_M
-            )
-            color[b, i] = img
-            if f == 0:
-                gt_depth[b] = depth
-        # ground truth cam0 -> cam(+1): new camera is 0.3 m ahead, so points
-        # move by -0.3 in the new camera's z.
-        T = np.eye(4, dtype=np.float32)
-        T[2, 3] = -STEP_M
-        T_fwd[b] = T
 
-    bev = np.ones((batch, occ, occ), np.float32)  # the whole plane is road
+def render_scene(scene_seed: int, height=256, width=256):
+    """One consistent 3-frame scene + analytic GT (no batch dim).
+
+    Returns (sample, gt): sample has the training-batch key schema
+    (per-sample shapes), gt = {"depth": (H,W), "T_fwd": (4,4)}.
+    The intrinsics ARE the render intrinsics (unlike KITTI's normalized-K
+    convention) so the photometric geometry is exact.
+    """
+    occ = height // 4
+    K, inv_K, Tr = scene_calib(height, width)
+
+    tex_g = _texture(np.random.default_rng(scene_seed))
+    tex_w = _texture(np.random.default_rng(scene_seed + 31))
+    color = np.zeros((3, height, width, 3), np.float32)
+    gt_depth = np.zeros((height, width), np.float32)
+    for i, f in enumerate((0, -1, 1)):
+        img, depth = render_frame(tex_g, tex_w, K, height, width,
+                                  cam_z=f * STEP_M)
+        color[i] = img
+        if f == 0:
+            gt_depth = depth
+    # ground truth cam0 -> cam(+1): the new camera is STEP_M ahead, so
+    # points move by -STEP_M in the new camera's z.
+    T_fwd = np.eye(4, dtype=np.float32)
+    T_fwd[2, 3] = -STEP_M
+
+    bev = np.ones((occ, occ), np.float32)  # the whole plane is road
     from ..ops.sdf import signed_distance_field
 
-    return (
-        {
-            "color": color,
-            "color_aug": color.copy(),
-            "K": np.tile(K[None], (batch, 1, 1)),
-            "inv_K": np.tile(inv_K[None], (batch, 1, 1)),
-            "odometry_K": np.tile(K[None], (batch, 1, 1)),
-            "Tr_cam2_velo": np.tile(Tr[None], (batch, 1, 1)),
-            "bev_static": bev,
-            "bev_dynamic": np.zeros_like(bev),
-            "bev_both": bev.copy(),
-            "bev_static_sdf": signed_distance_field(bev.astype(np.int32), 2).astype(np.float32),
-            "bev_dynamic_sdf": np.zeros((batch, occ, occ, 1), np.float32),
-        },
-        {"depth": gt_depth, "T_fwd": T_fwd},
-    )
+    sample = {
+        "color": color,
+        "color_aug": color.copy(),
+        "K": K,
+        "inv_K": inv_K,
+        "odometry_K": K.copy(),
+        "Tr_cam2_velo": Tr,
+        "bev_static": bev,
+        "bev_dynamic": np.zeros_like(bev),
+        "bev_both": bev.copy(),
+        "bev_static_sdf": signed_distance_field(
+            bev[None].astype(np.int32), 2)[0].astype(np.float32),
+        "bev_dynamic_sdf": np.zeros((occ, occ, 1), np.float32),
+    }
+    return sample, {"depth": gt_depth, "T_fwd": T_fwd}
+
+
+def simulated_batch(batch=2, height=256, width=256, seed=0):
+    """A training batch of consistent 3-frame scenes + analytic GT.
+
+    Returns (batch_dict, gt) with gt = {"depth": (B,H,W), "T_fwd": (B,4,4)}.
+    """
+    samples, gts = zip(*(render_scene(seed * 97 + b, height, width)
+                         for b in range(batch)))
+    out = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    return out, {k: np.stack([g[k] for g in gts]) for k in gts[0]}
+
+
+class SimulatedDataset:
+    """Loader-pluggable simulated scenes (`get_dataset` name="simulated").
+
+    Gives the full Trainer/EvalHook pipeline a real dataset with analytic
+    ground truth and no external data: `__getitem__` renders (and caches)
+    one scene; `with_gt=True` adds the `gt_depth` key the eval hook pops.
+    Train/val instances must use disjoint `seed`s.
+    """
+
+    def __init__(self, n_scenes: int = 64, height: int = 256,
+                 width: int = 256, seed: int = 0, with_gt: bool = False,
+                 cache: bool = True):
+        self.n_scenes = int(n_scenes)
+        self.height, self.width = height, width
+        self.seed = seed
+        self.with_gt = with_gt
+        self._cache: dict[int, dict] | None = {} if cache else None
+
+    def __len__(self) -> int:
+        return self.n_scenes
+
+    def __getitem__(self, i: int) -> dict:
+        if not 0 <= i < self.n_scenes:
+            raise IndexError(i)
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
+        sample, gt = render_scene(self.seed * 100003 + i,
+                                  self.height, self.width)
+        if self.with_gt:
+            sample = dict(sample, gt_depth=gt["depth"])
+        if self._cache is not None:
+            self._cache[i] = sample
+        return sample

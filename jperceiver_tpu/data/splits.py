@@ -71,6 +71,18 @@ def get_dataset(data_cfg, training: bool = True, with_sdf: bool = False,
     # Aux datasets dispatch by `name` like the reference factory
     # (`get_dataset.py:10-29`); euroc/eth3d/folder scan a directory tree,
     # cityscape/nuscenes consume split files.
+    if name == "simulated":
+        # Self-contained rendered scenes with analytic GT (data/simulated.py)
+        # — the acceptance-run dataset; no files on disk required.
+        from .simulated import SimulatedDataset
+
+        return SimulatedDataset(
+            n_scenes=data_cfg.get("n_scenes", 64),
+            height=data_cfg["height"], width=data_cfg["width"],
+            seed=data_cfg.get("seed", 0 if training else 7),
+            with_gt=data_cfg.get("with_gt", not training),
+        )
+
     if name in ("euroc", "eth3d", "folder"):
         from .aux_datasets import Eth3dDataset, EurocDataset
         from .folder import FolderDataset

@@ -61,7 +61,11 @@ class JPerceiver(nn.Module):
     # Gradient checkpointing: recompute encoder/decoder activations in the
     # backward pass instead of keeping them in HBM. Essential at 1024^2 on
     # 16 GB chips (a single decoder activation there is ~0.8 GB).
-    remat: bool = False
+    # True/"all" remats every trunk; "enc" only the three encoders;
+    # "dec" only the depth/layout decoders — selective modes trade less
+    # recompute for less memory relief (the B>=2 fitting sweep,
+    # `benchmarks/sweep.py`).
+    remat: Any = False
     # Which BEV branches to compute: "both" (reference parity — `net.py:75`
     # runs both branches even for single-branch configs, kept alive under
     # jit by their BatchNorm stat updates), "road", or "vehicle". Skipping
@@ -87,7 +91,7 @@ class JPerceiver(nn.Module):
             scales=tuple(cfg.get("scales", (0, 1, 2, 3))),
             min_depth=cfg.get("min_depth", 0.1),
             max_depth=cfg.get("max_depth", 100.0),
-            remat=bool(cfg.get("remat", False)),
+            remat=cfg.get("remat", False),
             branches=cls._branches_from_cfg(cfg),
         )
 
@@ -105,16 +109,15 @@ class JPerceiver(nn.Module):
         return "both"  # Argo_both trains both branches
 
     def setup(self):
-        if self.remat:
-            depth_enc_cls = nn.remat(DepthEncoder, static_argnums=(2,))
-            depth_dec_cls = nn.remat(DepthDecoder, static_argnums=(2,))
-            pose_enc_cls = nn.remat(PoseEncoder, static_argnums=(2,))
-            layout_enc_cls = nn.remat(LayoutEncoder, static_argnums=(2,))
-            layout_dec_cls = nn.remat(LayoutDecoder, static_argnums=(2,))
-        else:
-            depth_enc_cls, depth_dec_cls = DepthEncoder, DepthDecoder
-            pose_enc_cls = PoseEncoder
-            layout_enc_cls, layout_dec_cls = LayoutEncoder, LayoutDecoder
+        mode = {True: "all", False: ""}.get(self.remat, self.remat) or ""
+        if mode not in ("", "all", "enc", "dec"):
+            raise ValueError(f"remat must be bool/'all'/'enc'/'dec', got {self.remat!r}")
+        enc_on, dec_on = mode in ("all", "enc"), mode in ("all", "dec")
+        depth_enc_cls = nn.remat(DepthEncoder, static_argnums=(2,)) if enc_on else DepthEncoder
+        pose_enc_cls = nn.remat(PoseEncoder, static_argnums=(2,)) if enc_on else PoseEncoder
+        layout_enc_cls = nn.remat(LayoutEncoder, static_argnums=(2,)) if enc_on else LayoutEncoder
+        depth_dec_cls = nn.remat(DepthDecoder, static_argnums=(2,)) if dec_on else DepthDecoder
+        layout_dec_cls = nn.remat(LayoutDecoder, static_argnums=(2,)) if dec_on else LayoutDecoder
         self._layout_dec_cls = layout_dec_cls
         self.depth_encoder = depth_enc_cls(self.depth_layers, self.dtype)
         self.depth_decoder = depth_dec_cls(dtype=self.dtype)

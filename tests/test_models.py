@@ -232,3 +232,30 @@ def test_per_replica_batchnorm_groups():
         ye = bn_eval.apply(v, x)
     ye2 = nn.BatchNorm(use_running_average=True).apply(v, x)
     np.testing.assert_array_equal(np.asarray(ye), np.asarray(ye2))
+
+
+def test_selective_remat_modes():
+    """remat in {False, "enc", "dec", "all", True} builds the same param
+    tree and identical forward outputs (remat changes only the backward
+    schedule); bad modes are rejected at setup."""
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(1, 128, 128, 32).items()}
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+
+    ref_vars = None
+    ref_out = None
+    for mode in (False, "enc", "dec", True, "all"):
+        model = JPerceiver(height=128, width=128, occ_map_size=32, remat=mode)
+        v = model.init(rngs, batch, train=False)
+        out = model.apply(v, batch, train=False)
+        if ref_vars is None:
+            ref_vars, ref_out = v, out
+            continue
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(ref_vars)
+        np.testing.assert_array_equal(
+            np.asarray(out["disp/0"]), np.asarray(ref_out["disp/0"]))
+        np.testing.assert_array_equal(
+            np.asarray(out["topview"]), np.asarray(ref_out["topview"]))
+
+    with pytest.raises(ValueError, match="remat"):
+        JPerceiver(height=128, width=128, occ_map_size=32,
+                   remat="warp").init(rngs, batch, train=False)
