@@ -63,6 +63,7 @@ def main() -> None:
 
     quick = "--quick" in sys.argv
     pconv = "--pallas-conv" in sys.argv
+    dots = "--dots" in sys.argv  # 9-shifted-matmul conv lowering
     # Skip the inactive BEV branch's forward (config-gated knob; the
     # reference computes both branches even for single-branch configs, so
     # the DEFAULT keeps parity and this flag measures the saving).
@@ -91,6 +92,8 @@ def main() -> None:
     )
     if pconv:
         cfg.use_pallas_conv = True
+    if dots:
+        cfg.conv3x3_dots = True
     if skip_branch:
         cfg.skip_inactive_branch = True
     model = JPerceiver(height=h, width=w, occ_map_size=occ,

@@ -38,14 +38,17 @@ def make_train_step(model, cfg, donate: bool = True,
     bn_groups = int(cfg.get("bn_groups", 1)) if hasattr(cfg, "get") else 1
     # Pallas conv path for shallow-channel 3x3s (`cfg.use_pallas_conv`).
     use_pconv = bool(cfg.get("use_pallas_conv", False)) if hasattr(cfg, "get") else False
+    # Nine-shifted-matmul conv lowering (`cfg.conv3x3_dots`, ops/conv9dot.py).
+    use_dots = bool(cfg.get("conv3x3_dots", False)) if hasattr(cfg, "get") else False
 
     def step(state, batch, rng):
-        from ..models.common import pallas_conv_scope, per_replica_bn
+        from ..models.common import conv_dots_scope, pallas_conv_scope, per_replica_bn
 
         dropout_rng, loss_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
-            with per_replica_bn(bn_groups), pallas_conv_scope(use_pconv):
+            with per_replica_bn(bn_groups), pallas_conv_scope(use_pconv), \
+                    conv_dots_scope(use_dots):
                 outputs, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     batch,
@@ -78,11 +81,13 @@ def make_eval_step(model, cfg=None) -> Callable:
     """Jitted inference step: outputs only (no losses), eval-mode BN."""
     use_pconv = bool(cfg.get("use_pallas_conv", False)) if (
         cfg is not None and hasattr(cfg, "get")) else False
+    use_dots = bool(cfg.get("conv3x3_dots", False)) if (
+        cfg is not None and hasattr(cfg, "get")) else False
 
     def step(state, batch):
-        from ..models.common import pallas_conv_scope
+        from ..models.common import conv_dots_scope, pallas_conv_scope
 
-        with pallas_conv_scope(use_pconv):
+        with pallas_conv_scope(use_pconv), conv_dots_scope(use_dots):
             return model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch,

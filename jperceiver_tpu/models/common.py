@@ -113,6 +113,7 @@ class BatchNorm(nn.BatchNorm):
 
 _PALLAS_CONV: bool = False
 _PALLAS_CONV_FORCE: bool = False  # tests: take the kernel path on CPU too
+_CONV_DOTS: bool = False  # lower stride-1 3x3s as nine shifted matmuls
 
 
 class pallas_conv_scope:
@@ -130,6 +131,26 @@ class pallas_conv_scope:
     def __exit__(self, *exc):
         global _PALLAS_CONV, _PALLAS_CONV_FORCE
         _PALLAS_CONV, _PALLAS_CONV_FORCE = self._prev
+        return False
+
+
+class conv_dots_scope:
+    """Trace-time switch (`cfg.conv3x3_dots`): route stride-1 `Conv3x3`
+    instances through `ops/conv9dot.py` — nine shifted MXU matmuls
+    instead of XLA's conv lowering (see that module's rationale)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _CONV_DOTS
+        self._prev = _CONV_DOTS
+        _CONV_DOTS = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _CONV_DOTS
+        _CONV_DOTS = self._prev
         return False
 
 
@@ -173,6 +194,11 @@ class Conv3x3(nn.Module):
         k = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
         h, w = x.shape[1], x.shape[2]
+        if self.strides == 1 and _CONV_DOTS:
+            from ..ops.conv9dot import conv3x3_dots
+
+            return conv3x3_dots(xd, k, b if self.use_bias else None,
+                                mode=self.mode)
         if self.strides == 1 and _pallas_conv_eligible(
                 c, self.features, h, w, xd.dtype.itemsize):
             from ..ops.pallas.conv3x3 import (pallas_conv3x3,

@@ -1,0 +1,75 @@
+"""3x3 conv lowered as nine shifted matmuls — at the XLA level.
+
+Replaces `lax.conv_general_dilated` for stride-1 3x3s with
+
+    y = sum_{dy,dx} x[:, dy:dy+H, dx:dx+W, :] @ W[dy, dx]
+
+i.e. nine (B*H*W, C) @ (C, O) dots over statically shifted views of the
+zero-padded input. Rationale (v5e, measured in `benchmarks/convbench2/3`
+and the round-2 DESIGN log):
+
+- XLA's conv lowering runs shallow/medium-channel 3x3s at 5-14 TFLOP/s
+  vs ~103 TFLOP/s for plain matmuls on the same chip; the MXU sees a
+  dense (C x O) contraction per tap here instead of a strided conv.
+- Unlike the Pallas kernel (`ops/pallas/conv3x3.py`, a measured
+  whole-step NEGATIVE), this form is pure XLA: BN/ReLU/adds still fuse
+  into the matmul epilogues and the shifted slices fuse into operand
+  reads — no custom_call fusion barrier, no HBM re-reads.
+- The autodiff transpose is nine dense matmuls in each direction:
+  wgrad becomes (C, B*H*W) @ (B*H*W, O) reduction matmuls — the op
+  class XLA's conv-wgrad lowering is slowest at (the C_in=3 stem wgrad
+  measured 1/128 utilization in round 2, fixed then by space-to-depth;
+  this generalizes that fix to every stride-1 3x3).
+
+Numerics: each tap's dot accumulates fp32 on the MXU and rounds to the
+compute dtype; the nine-term sum is carried in fp32 and cast once. This
+matches conv's internal-fp32 accumulation to ~1 bf16 ulp (parity test
+`tests/test_conv9dot.py`).
+
+The DispConv (3x3xC -> 1) and ConvReflect3x3Split decompositions in
+`models/common.py` are special cases of the same idea, landed in round 2
+with measured wins; this module is the general form, switchable via
+`cfg.conv3x3_dots` (trace-time scope in `models/common.py::Conv3x3`).
+
+Reference parity target: the stride-1 3x3 convs of
+`mono/model/mono_baseline/resnet.py` / the decoders (`depth_decoder.py`,
+`layout_model.py`) — same math, TPU-first lowering.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def conv3x3_dots(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
+                 mode: str = "same") -> jax.Array:
+    """Stride-1 3x3 conv as nine shifted matmuls.
+
+    Args:
+      x: (B, H, W, C) — for mode="valid" the input is already padded by 1
+         on each spatial side (the reflect-pad call sites), so the output
+         is (B, H-2, W-2, O).
+      w: (3, 3, C, O) HWIO kernel.
+      b: (O,) bias or None.
+      mode: "same" (zero pad 1) or "valid" (pre-padded input).
+    """
+    if mode == "same":
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    elif mode == "valid":
+        xp = x
+    else:
+        raise ValueError(f"unsupported mode: {mode}")
+    ho, wo = xp.shape[1] - 2, xp.shape[2] - 2
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(xp, dy, dy + ho, axis=1),
+                dx, dx + wo, axis=2)
+            # (B,Ho,Wo,C) @ (C,O): fp32 MXU accumulation inside the dot,
+            # fp32 carry across the nine taps, one cast at the end.
+            t = jnp.einsum("bhwc,co->bhwo", tap, w[dy, dx]).astype(jnp.float32)
+            acc = t if acc is None else acc + t
+    y = acc.astype(x.dtype)
+    return y + b.astype(x.dtype) if b is not None else y

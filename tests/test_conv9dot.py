@@ -1,0 +1,86 @@
+"""Parity: nine-shifted-matmul conv lowering vs lax.conv (ops/conv9dot.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jperceiver_tpu.ops.conv9dot import conv3x3_dots
+
+
+def _ref_conv(x, w, b, mode):
+    pad = [(1, 1), (1, 1)] if mode == "same" else [(0, 0), (0, 0)]
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+@pytest.mark.parametrize("mode", ["same", "valid"])
+@pytest.mark.parametrize("c,o", [(3, 64), (64, 64), (256, 1)])
+def test_forward_parity_fp32(mode, c, o):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 12, 14, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, c, o)).astype(np.float32) / c)
+    b = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+    got = conv3x3_dots(x, w, b, mode=mode)
+    want = _ref_conv(x, w, b, mode)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_parity_bf16():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 32, 48)).astype(np.float32) / 32)
+    b = jnp.zeros((48,), jnp.float32)
+    got = conv3x3_dots(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       b.astype(jnp.bfloat16))
+    want = _ref_conv(x, w, b, "same")
+    # per-tap bf16 rounding + fp32 carry: within a few bf16 ulps
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=0.03, atol=0.03)
+
+
+@pytest.mark.parametrize("mode", ["same", "valid"])
+def test_grad_parity(mode):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 10, 11, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32) / 8)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+    def loss(f):
+        return lambda x, w, b: jnp.sum(jnp.sin(f(x, w, b)))
+
+    g_got = jax.grad(loss(lambda *a: conv3x3_dots(*a, mode=mode)),
+                     argnums=(0, 1, 2))(x, w, b)
+    g_want = jax.grad(loss(lambda x, w, b: _ref_conv(x, w, b, mode)),
+                      argnums=(0, 1, 2))(x, w, b)
+    for got, want in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_module_scope():
+    """Conv3x3 routes through the dots path under conv_dots_scope with the
+    identical param tree and matching outputs."""
+    from jperceiver_tpu.models.common import Conv3x3, conv_dots_scope
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 12)).astype(np.float32))
+    m = Conv3x3(24)
+    v = m.init(jax.random.key(0), x)
+    base = m.apply(v, x)
+    with conv_dots_scope(True):
+        v2 = m.init(jax.random.key(0), x)
+        dots = m.apply(v, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    np.testing.assert_allclose(np.asarray(dots), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+    # strided instances ignore the scope (shape proves the conv ran)
+    ms = Conv3x3(24, strides=2)
+    vs = ms.init(jax.random.key(0), x)
+    with conv_dots_scope(True):
+        ys = ms.apply(vs, x)
+    assert ys.shape == (1, 4, 4, 24)
