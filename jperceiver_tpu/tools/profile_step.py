@@ -21,6 +21,8 @@ def main(argv=None) -> None:
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--height", type=int, default=None,
                    help="override input resolution (and occ=h//4)")
+    p.add_argument("--dots", action="store_true",
+                   help="enable the nine-shifted-matmul conv lowering")
     p.add_argument("--pallas-conv", action="store_true",
                    help="route eligible 3x3 convs through the Pallas kernel")
     args = p.parse_args(argv)
@@ -70,6 +72,8 @@ def main(argv=None) -> None:
                            dtype=jnp.bfloat16)
     if args.pallas_conv:
         model_cfg.use_pallas_conv = True
+    if args.dots:
+        model_cfg.conv3x3_dots = True
 
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(1, h, w, occ).items()}
     tx, _ = build_optimizer(model_cfg, 1000)
