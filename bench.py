@@ -27,7 +27,10 @@ HBM. Chip roofline (benchmarks/roofline.py): 103 TFLOP/s matmul, 14-32
 TFLOP/s conv (channel-depth dependent), 325 GB/s HBM, 124M gather-rows/s
 (narrow rows; wide rows are ~4x faster, see DESIGN.md round-2 log).
 Round-2 result: 8.21 f/s/chip (1.03x the baseline estimate), up from 4.13
-at the end of round 1.
+at the end of round 1. Round 3: the nine-shifted-matmul conv lowering
+(`ops/conv9dot.py`, AUTO default on TPU) lifts the flagship step to 8.73
+f/s; `--no-dots` restores XLA's conv lowering, `--dots-cap N` keeps XLA
+convs above C_in=N.
 """
 
 from __future__ import annotations
@@ -63,7 +66,11 @@ def main() -> None:
 
     quick = "--quick" in sys.argv
     pconv = "--pallas-conv" in sys.argv
-    dots = "--dots" in sys.argv  # 9-shifted-matmul conv lowering
+    # 9-shifted-matmul conv lowering: AUTO (on for TPU) unless forced.
+    no_dots = "--no-dots" in sys.argv
+    dots_cap = None
+    if "--dots-cap" in sys.argv:
+        dots_cap = int(sys.argv[sys.argv.index("--dots-cap") + 1])
     # Skip the inactive BEV branch's forward (config-gated knob; the
     # reference computes both branches even for single-branch configs, so
     # the DEFAULT keeps parity and this flag measures the saving).
@@ -92,8 +99,10 @@ def main() -> None:
     )
     if pconv:
         cfg.use_pallas_conv = True
-    if dots:
-        cfg.conv3x3_dots = True
+    if no_dots:
+        cfg.conv3x3_dots = False
+    if dots_cap is not None:
+        cfg.conv3x3_dots_max_ch = dots_cap
     if skip_branch:
         cfg.skip_inactive_branch = True
     model = JPerceiver(height=h, width=w, occ_map_size=occ,

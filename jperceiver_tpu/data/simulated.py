@@ -135,7 +135,16 @@ def render_scene(scene_seed: int, height=256, width=256):
     T_fwd = np.eye(4, dtype=np.float32)
     T_fwd[2, 3] = -STEP_M
 
-    bev = np.ones((occ, occ), np.float32)  # the whole plane is road
+    # BEV static label over the 40 m x +/-20 m window (row 0 = far, like
+    # the KITTI labels / `cgt.py` depth ramp): ground plane = road up to
+    # the wall at WALL_Z; the band beyond it is non-road, so the label
+    # carries BOTH classes (the eval metrics index class 1 of GT-observed
+    # classes) and the CGT ramp never claims ground depth on wall cells.
+    rows = np.arange(occ, dtype=np.float32)
+    row_depth = (occ - rows) * (40.0 / occ)
+    bev = np.broadcast_to(
+        (row_depth <= WALL_Z).astype(np.float32)[:, None], (occ, occ)
+    ).copy()
     from ..ops.sdf import signed_distance_field
 
     sample = {

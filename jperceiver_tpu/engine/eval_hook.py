@@ -132,7 +132,11 @@ class EvalHook:
                             continue
                         iou = mean_iu(road_pred[i], road_gt[i])
                         prec = mean_precision(road_pred[i], road_gt[i])
-                        if len(iou) > 1:
+                        # mean_iu spans pred|gt-observed classes, precision
+                        # GT-observed only — a single-class GT sample has
+                        # no defined class-1 score; skip it (reference
+                        # labels always carry both classes).
+                        if len(iou) > 1 and len(prec) > 1:
                             upd("road_iou", iou[1])
                             upd("road_map", prec[1])
                 if model_type in ("dynamic", "Argo_dynamic",
@@ -144,7 +148,7 @@ class EvalHook:
                             continue
                         iou = mean_iu(veh_pred[i], veh_gt[i])
                         prec = mean_precision(veh_pred[i], veh_gt[i])
-                        if len(iou) > 1:
+                        if len(iou) > 1 and len(prec) > 1:
                             upd("vehicle_iou", iou[1])
                             upd("vehicle_map", prec[1])
 

@@ -39,7 +39,9 @@ def make_train_step(model, cfg, donate: bool = True,
     # Pallas conv path for shallow-channel 3x3s (`cfg.use_pallas_conv`).
     use_pconv = bool(cfg.get("use_pallas_conv", False)) if hasattr(cfg, "get") else False
     # Nine-shifted-matmul conv lowering (`cfg.conv3x3_dots`, ops/conv9dot.py).
-    use_dots = bool(cfg.get("conv3x3_dots", False)) if hasattr(cfg, "get") else False
+    # Default None = AUTO (on for the TPU backend, measured +6% whole-step).
+    use_dots = cfg.get("conv3x3_dots", None) if hasattr(cfg, "get") else None
+    dots_max_ch = cfg.get("conv3x3_dots_max_ch", None) if hasattr(cfg, "get") else None
 
     def step(state, batch, rng):
         from ..models.common import conv_dots_scope, pallas_conv_scope, per_replica_bn
@@ -48,7 +50,7 @@ def make_train_step(model, cfg, donate: bool = True,
 
         def loss_fn(params):
             with per_replica_bn(bn_groups), pallas_conv_scope(use_pconv), \
-                    conv_dots_scope(use_dots):
+                    conv_dots_scope(use_dots, dots_max_ch):
                 outputs, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     batch,
@@ -81,13 +83,15 @@ def make_eval_step(model, cfg=None) -> Callable:
     """Jitted inference step: outputs only (no losses), eval-mode BN."""
     use_pconv = bool(cfg.get("use_pallas_conv", False)) if (
         cfg is not None and hasattr(cfg, "get")) else False
-    use_dots = bool(cfg.get("conv3x3_dots", False)) if (
-        cfg is not None and hasattr(cfg, "get")) else False
+    use_dots = cfg.get("conv3x3_dots", None) if (
+        cfg is not None and hasattr(cfg, "get")) else None
+    dots_max_ch = cfg.get("conv3x3_dots_max_ch", None) if (
+        cfg is not None and hasattr(cfg, "get")) else None
 
     def step(state, batch):
         from ..models.common import conv_dots_scope, pallas_conv_scope
 
-        with pallas_conv_scope(use_pconv), conv_dots_scope(use_dots):
+        with pallas_conv_scope(use_pconv), conv_dots_scope(use_dots, dots_max_ch):
             return model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch,

@@ -113,7 +113,21 @@ class BatchNorm(nn.BatchNorm):
 
 _PALLAS_CONV: bool = False
 _PALLAS_CONV_FORCE: bool = False  # tests: take the kernel path on CPU too
-_CONV_DOTS: bool = False  # lower stride-1 3x3s as nine shifted matmuls
+# Nine-shifted-matmul lowering for stride-1 3x3s (ops/conv9dot.py).
+# None = AUTO: on for the TPU backend (measured +6% whole-step over XLA's
+# conv lowering at the flagship config), off elsewhere (CPU goldens run
+# XLA's exact conv). `conv_dots_scope`/cfg.conv3x3_dots override.
+_CONV_DOTS: bool | None = None
+_CONV_DOTS_MAX_CH: int | None = None  # optional cap: C_in>cap keeps XLA conv
+
+
+def _dots_active(c_in: int) -> bool:
+    import jax
+
+    on = (jax.default_backend() == "tpu") if _CONV_DOTS is None else _CONV_DOTS
+    if on and _CONV_DOTS_MAX_CH is not None:
+        return c_in <= _CONV_DOTS_MAX_CH
+    return on
 
 
 class pallas_conv_scope:
@@ -137,20 +151,24 @@ class pallas_conv_scope:
 class conv_dots_scope:
     """Trace-time switch (`cfg.conv3x3_dots`): route stride-1 `Conv3x3`
     instances through `ops/conv9dot.py` — nine shifted MXU matmuls
-    instead of XLA's conv lowering (see that module's rationale)."""
+    instead of XLA's conv lowering (see that module's rationale).
 
-    def __init__(self, enabled: bool = True):
-        self.enabled = enabled
+    `enabled=None` restores AUTO (TPU default); `max_ch` keeps XLA's conv
+    for instances with C_in above the cap."""
+
+    def __init__(self, enabled: bool | None = True,
+                 max_ch: int | None = None):
+        self.enabled, self.max_ch = enabled, max_ch
 
     def __enter__(self):
-        global _CONV_DOTS
-        self._prev = _CONV_DOTS
-        _CONV_DOTS = self.enabled
+        global _CONV_DOTS, _CONV_DOTS_MAX_CH
+        self._prev = (_CONV_DOTS, _CONV_DOTS_MAX_CH)
+        _CONV_DOTS, _CONV_DOTS_MAX_CH = self.enabled, self.max_ch
         return self
 
     def __exit__(self, *exc):
-        global _CONV_DOTS
-        _CONV_DOTS = self._prev
+        global _CONV_DOTS, _CONV_DOTS_MAX_CH
+        _CONV_DOTS, _CONV_DOTS_MAX_CH = self._prev
         return False
 
 
@@ -194,7 +212,7 @@ class Conv3x3(nn.Module):
         k = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
         h, w = x.shape[1], x.shape[2]
-        if self.strides == 1 and _CONV_DOTS:
+        if self.strides == 1 and _dots_active(c):
             from ..ops.conv9dot import conv3x3_dots
 
             return conv3x3_dots(xd, k, b if self.use_bias else None,

@@ -1,0 +1,45 @@
+"""End-to-end acceptance pipeline on the 8-device CPU mesh (tiny config).
+
+Drives `tools/acceptance.py`: simulated-scene training through the real
+train CLI, checkpoint restore, EvalHook metrics vs analytic GT, and the
+odometry toolkit over a rendered 110 m drive. The real-chip counterpart
+(256^2, hundreds of steps) is run manually; its numbers live in DESIGN.md.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_acceptance_pipeline(tmp_path):
+    from jperceiver_tpu.tools.acceptance import main
+
+    wd = tmp_path / "acc"
+    results = main([
+        "--work_dir", str(wd),
+        "--height", "128",
+        "--n_scenes", "8",
+        "--imgs_per_gpu", "1",
+        "--epochs", "1",
+        "--odom_frames", "110",
+    ])
+
+    # Stage 1+2: trained, checkpointed, restored, evaluated.
+    assert results["restored_epoch"] == 1
+    ev = results["eval"]
+    assert np.isfinite(ev["abs_rel"]) and ev["abs_rel"] > 0
+    assert "road_iou" in ev
+    # Stage 3: odometry toolkit produced segment errors over >=100 m.
+    od = results["odometry"]
+    assert od["n_segments"] >= 1
+    assert np.isfinite(od["t_rel_percent"])
+    # Artifacts on disk: acceptance.json, predicted poses, trajectory plot.
+    assert (wd / "acceptance.json").is_file()
+    assert (wd / "odom" / "21.txt").is_file()
+    assert (wd / "odom" / "21.png").is_file()
+    on_disk = json.load(open(wd / "acceptance.json"))
+    assert on_disk["eval"] == results["eval"]
