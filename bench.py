@@ -105,6 +105,8 @@ def main() -> None:
         cfg.conv3x3_dots_max_ch = dots_cap
     if skip_branch:
         cfg.skip_inactive_branch = True
+    if "--no-const-vjp" in sys.argv:  # plain-autodiff photometric warp
+        cfg.warp_const_vjp = False
     model = JPerceiver(height=h, width=w, occ_map_size=occ,
                        dtype=_jnp.bfloat16,
                        branches="road" if skip_branch else "both")

@@ -47,7 +47,8 @@ def _scale_loss(depth_pred, scale_label, model_type: str) -> jax.Array:
 
 
 def _warped_frames_all(outputs, batch, scales, frame_ids, height, width,
-                       min_depth, max_depth, tap_dtype=None):
+                       min_depth, max_depth, tap_dtype=None,
+                       const_vjp=True):
     """Monodepth2 image synthesis for every scale (`net.py:690-702`).
 
     Numerically identical to the reference's per-scale loop, but each
@@ -78,7 +79,7 @@ def _warped_frames_all(outputs, batch, scales, frame_ids, height, width,
         # analytic grid-tangent fields instead of ~1 GB of tap residuals.
         preds[f] = grid_sample_multi(
             batch["color"][:, i], stacked, padding_mode="border",
-            tap_dtype=tap_dtype, img_grad=False,
+            tap_dtype=tap_dtype, img_grad=not const_vjp,
         )
     return preds
 
@@ -195,6 +196,9 @@ def compute_losses(
     all_preds = _warped_frames_all(
         outputs, batch, scales, frame_ids, height, width,
         cfg.min_depth, cfg.max_depth, tap_dtype=tap_dtype,
+        # cfg knob `warp_const_vjp` (default on): the const-image custom
+        # VJP keeps only the two grid-tangent fields as residuals.
+        const_vjp=bool(cfg.get("warp_const_vjp", True)),
     )
     # Photometric terms, batched: identity reprojection is scale-invariant
     # (the reference recomputes the same value each scale; only the 1e-5

@@ -121,10 +121,21 @@ class StemConv(nn.Module):
         hb, wb = (h + 2) // 2, (w + 2) // 2
         xs = xp.reshape(b, hb, 2, wb, 2, c)
         xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hb, wb, 4 * c)
-        return jax.lax.conv_general_dilated(
-            xs.astype(self.dtype), k4.astype(self.dtype),
-            window_strides=(1, 1), padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # The 4x4/s1 conv as ONE (B*H*W, 16*4C) @ (16*4C, O) matmul over a
+        # tap-stacked operand (16 shifted views concatenated in lanes) —
+        # the conv9dot idea with all taps in one contraction. XLA's conv
+        # WEIGHT-grad for this shape still ran at ~3.5 TFLOP/s (1.8 ms per
+        # encoder, round-3 trace); the matmul transpose is a dense
+        # (16*4C, B*H*W) @ (B*H*W, O) reduction on the MXU.
+        xsp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        ho, wo = hb - 1, wb - 1
+        taps = [
+            xsp[:, jy:jy + ho, jx:jx + wo, :]
+            for jy in range(4) for jx in range(4)
+        ]
+        stack = jnp.concatenate(taps, axis=-1).astype(self.dtype)
+        k16 = k4.reshape(16 * 4 * c, self.features).astype(self.dtype)
+        return jnp.einsum("bhwk,ko->bhwo", stack, k16)
 
 
 class ResNet(nn.Module):
