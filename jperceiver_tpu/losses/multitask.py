@@ -232,6 +232,11 @@ def compute_losses(
         noise = jax.random.normal(
             sub, (n_scales, n_f, b, height, width), ident_l.dtype) * 1e-5
 
+    # Progressive image pyramid for the smooth loss: each level halves the
+    # previous one (exact for the power-of-2 scale factors; mean-of-means
+    # == mean) instead of area-resizing the full-res image per scale.
+    img_pyr = target
+
     for si, scale in enumerate(scales):
         disp = outputs[f"disp/{scale}"]
         _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
@@ -251,7 +256,15 @@ def compute_losses(
         if disp_norm:
             mean_disp = disp.mean(axis=(1, 2), keepdims=True)
             disp = disp / (mean_disp + 1e-7)
-        smooth = edge_aware_smoothness(disp, target)
+        dh, dw = disp.shape[1], disp.shape[2]
+        while img_pyr.shape[1] > dh and img_pyr.shape[1] % 2 == 0 \
+                and (img_pyr.shape[1] // 2) % dh == 0:
+            from ..ops.sampling import resize_area
+
+            img_pyr = resize_area(
+                img_pyr, img_pyr.shape[1] // 2, img_pyr.shape[2] // 2)
+        smooth = edge_aware_smoothness(
+            disp, img_pyr if img_pyr.shape[1:3] == (dh, dw) else target)
         loss[f"smooth_loss/{scale}"] = (
             smoothness_weight * smooth / (2 ** scale) / n_scales
         )

@@ -354,12 +354,22 @@ def resize_area(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Area (average-pool) downsample for integer factors.
 
     Matches `F.interpolate(mode='area')` for the integer ratios the smooth
-    loss uses (`net.py:762`).
+    loss uses (`net.py:762`). Two separable 1-D `reduce_window` sums
+    instead of a reshape+mean: the (H, fh, W, fw, C) reshape physically
+    retiled the planar C=3 image (1.2 ms + a 1.1 ms reduce at 1024² fp32,
+    round-3 trace) where the windowed reductions stream it.
     """
     b, h, w, c = img.shape
+    if (h, w) == (out_h, out_w):
+        return img
     fh, fw = h // out_h, w // out_w
     assert fh * out_h == h and fw * out_w == w, (
         f"resize_area requires integer factors, got {h}x{w} -> {out_h}x{out_w}"
     )
-    x = img.reshape(b, out_h, fh, out_w, fw, c)
-    return x.mean(axis=(2, 4))
+    x = jax.lax.reduce_window(
+        img, jnp.zeros((), img.dtype), jax.lax.add,
+        (1, fh, 1, 1), (1, fh, 1, 1), "VALID")
+    x = jax.lax.reduce_window(
+        x, jnp.zeros((), img.dtype), jax.lax.add,
+        (1, 1, fw, 1), (1, 1, fw, 1), "VALID")
+    return x * (1.0 / (fh * fw))
