@@ -345,6 +345,13 @@ class _SplitConvInner(nn.Module):
                 z = jnp.concatenate(taps, axis=-1)  # (B, H, W, 9C)
                 wd = kp.reshape(9 * c, self.features)  # (ky,kx,c)-major
                 t = jnp.einsum("bhwk,kf->bhwf", z, wd.astype(self.dtype))
+            elif _dots_active(c):
+                # Same nine-dot lowering as Conv3x3's TPU default — the
+                # decoder iconv wgrads ran XLA's conv lowering otherwise.
+                from ..ops.conv9dot import conv3x3_dots
+
+                t = conv3x3_dots(pp, kp.astype(self.dtype), None,
+                                 mode="valid")
             else:
                 t = jax.lax.conv_general_dilated(
                     pp, kp.astype(self.dtype),
