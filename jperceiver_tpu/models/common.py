@@ -212,11 +212,11 @@ class Conv3x3(nn.Module):
         k = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
         h, w = x.shape[1], x.shape[2]
-        if self.strides == 1 and _dots_active(c):
+        if self.strides in (1, 2) and _dots_active(c):
             from ..ops.conv9dot import conv3x3_dots
 
             return conv3x3_dots(xd, k, b if self.use_bias else None,
-                                mode=self.mode)
+                                mode=self.mode, stride=self.strides)
         if self.strides == 1 and _pallas_conv_eligible(
                 c, self.features, h, w, xd.dtype.itemsize):
             from ..ops.pallas.conv3x3 import (pallas_conv3x3,

@@ -43,16 +43,21 @@ import jax.numpy as jnp
 
 
 def conv3x3_dots(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
-                 mode: str = "same") -> jax.Array:
-    """Stride-1 3x3 conv as nine shifted matmuls.
+                 mode: str = "same", stride: int = 1) -> jax.Array:
+    """3x3 conv (stride 1 or 2) as nine shifted matmuls.
 
     Args:
       x: (B, H, W, C) — for mode="valid" the input is already padded by 1
          on each spatial side (the reflect-pad call sites), so the output
-         is (B, H-2, W-2, O).
+         is (B, H-2, W-2, O) at stride 1.
       w: (3, 3, C, O) HWIO kernel.
       b: (O,) bias or None.
       mode: "same" (zero pad 1) or "valid" (pre-padded input).
+      stride: 1 or 2. At stride 2 each tap is a strided view — H-strides
+        are major-dim (free) and W-strides ride the SUBLANE dim for
+        deep-channel activations (C in lanes), the regime measured fine on
+        v5e (lane-dim strides are the pathological case; the stride-2
+        sites all have C_in >= 64 so C owns the lanes).
     """
     if mode == "same":
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -60,13 +65,17 @@ def conv3x3_dots(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
         xp = x
     else:
         raise ValueError(f"unsupported mode: {mode}")
-    ho, wo = xp.shape[1] - 2, xp.shape[2] - 2
+    ho = (xp.shape[1] - 3) // stride + 1
+    wo = (xp.shape[2] - 3) // stride + 1
     acc = None
     for dy in range(3):
         for dx in range(3):
-            tap = jax.lax.slice_in_dim(
-                jax.lax.slice_in_dim(xp, dy, dy + ho, axis=1),
-                dx, dx + wo, axis=2)
+            tap = jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (xp.shape[0], dy + (ho - 1) * stride + 1,
+                 dx + (wo - 1) * stride + 1, xp.shape[3]),
+                (1, stride, stride, 1))
             # (B,Ho,Wo,C) @ (C,O): fp32 MXU accumulation inside the dot,
             # fp32 carry across the nine taps, one cast at the end.
             t = jnp.einsum("bhwc,co->bhwo", tap, w[dy, dx]).astype(jnp.float32)

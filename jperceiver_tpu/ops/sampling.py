@@ -19,6 +19,10 @@ import jax.numpy as jnp
 # Row count above which grid_sample uses the x-grouped wide-row gather
 # (tests lower this to exercise the grouped path on small images).
 _GROUP_MIN_ROWS = 1 << 20
+# x-positions packed per gather row (row width = _GROUP_WIDTH x 16 lanes).
+# 8 (=128-lane rows) measured fastest on v5e; benches monkeypatch this to
+# probe wider rows.
+_GROUP_WIDTH = 8
 
 
 def _take_rows(flat: jax.Array, idx: jax.Array) -> jax.Array:
@@ -172,7 +176,7 @@ def _gs_impl(
     # (CGT labels) lose to the select overhead and gather directly. The
     # batch dim is folded into the row index so the gather stays flat-2D on
     # the operand side (see _take_rows for the in-bounds/ND-output story).
-    grp = 8 if n >= _GROUP_MIN_ROWS else 1
+    grp = _GROUP_WIDTH if n >= _GROUP_MIN_ROWS else 1
     boff = (jnp.arange(b, dtype=jnp.int32) * sh)[:, None, None]  # row blocks
     if grp > 1:
         # Pad each position's 4C patch to a 16-lane stride: slicing the

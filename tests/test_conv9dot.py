@@ -9,10 +9,11 @@ import jax.numpy as jnp
 from jperceiver_tpu.ops.conv9dot import conv3x3_dots
 
 
-def _ref_conv(x, w, b, mode):
+def _ref_conv(x, w, b, mode, stride=1):
     pad = [(1, 1), (1, 1)] if mode == "same" else [(0, 0), (0, 0)]
     y = jax.lax.conv_general_dilated(
-        x, w, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x, w, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + b
 
 
@@ -62,6 +63,38 @@ def test_grad_parity(mode):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("mode,h,w_", [("same", 12, 14), ("same", 13, 15),
+                                       ("valid", 12, 14), ("valid", 13, 15)])
+def test_stride2_forward_parity(mode, h, w_):
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, h, w_, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 16, 24)).astype(np.float32) / 16)
+    b = jnp.asarray(rng.normal(size=(24,)).astype(np.float32))
+    got = conv3x3_dots(x, w, b, mode=mode, stride=2)
+    want = _ref_conv(x, w, b, mode, stride=2)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stride2_grad_parity():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 10, 12, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32) / 8)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+    def loss(f):
+        return lambda x, w, b: jnp.sum(jnp.sin(f(x, w, b)))
+
+    g_got = jax.grad(loss(lambda *a: conv3x3_dots(*a, stride=2)),
+                     argnums=(0, 1, 2))(x, w, b)
+    g_want = jax.grad(loss(lambda x, w, b: _ref_conv(x, w, b, "same", 2)),
+                      argnums=(0, 1, 2))(x, w, b)
+    for got, want in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_conv3x3_module_scope():
     """Conv3x3 routes through the dots path under conv_dots_scope with the
     identical param tree and matching outputs."""
@@ -78,9 +111,13 @@ def test_conv3x3_module_scope():
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
     np.testing.assert_allclose(np.asarray(dots), np.asarray(base),
                                rtol=1e-5, atol=1e-5)
-    # strided instances ignore the scope (shape proves the conv ran)
+    # stride-2 instances route through the dots path too (same params,
+    # same output as XLA's strided conv)
     ms = Conv3x3(24, strides=2)
     vs = ms.init(jax.random.key(0), x)
+    base_s = ms.apply(vs, x)
     with conv_dots_scope(True):
         ys = ms.apply(vs, x)
     assert ys.shape == (1, 4, 4, 24)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(base_s),
+                               rtol=1e-5, atol=1e-5)
