@@ -57,14 +57,15 @@ def main():
 
     for grp in (8, 16, 32):
         sampling._GROUP_WIDTH = grp
-        for tap in (jnp.bfloat16,):
+        for tap, name, bytes_ in ((jnp.bfloat16, "bf16", 2),
+                                  (jnp.uint8, "u8", 1)):
             dt = run(tap)
             rows = b * s * h * w / grp
             print(json.dumps({
-                "grp": grp, "row_lanes": grp * 16, "tap": "bf16",
+                "grp": grp, "row_lanes": grp * 16, "tap": name,
                 "ms": round(dt * 1e3, 3),
                 "Mrows_s": round(rows / dt / 1e6, 1),
-                "GB_s": round(rows * grp * 16 * 2 / dt / 1e9, 1),
+                "GB_s": round(rows * grp * 16 * bytes_ / dt / 1e9, 1),
             }))
     sampling._GROUP_WIDTH = 8
 

@@ -191,7 +191,10 @@ def compute_losses(
     # `warp_tap_dtype` in {"bfloat16", "float32"}.
     import jax.numpy as _jnp
 
-    tap_dtype = {"bfloat16": _jnp.bfloat16, "float32": None}[
+    # "uint8" is lossless for the loader's 8-bit-exact images and halves
+    # gather bytes vs bf16 (see ops/sampling.py).
+    tap_dtype = {"bfloat16": _jnp.bfloat16, "float32": None,
+                 "uint8": _jnp.uint8}[
         cfg.get("warp_tap_dtype", "bfloat16")]
     all_preds = _warped_frames_all(
         outputs, batch, scales, frame_ids, height, width,

@@ -157,7 +157,18 @@ def _gs_impl(
     # (quantization 1/255 ≈ 0.4%), so bfloat16 taps lose nothing while
     # halving gather traffic AND the residual XLA saves for the backward
     # pass. Lerp weights and the blend stay in the image dtype.
-    if tap_dtype is not None:
+    # uint8 taps go further: the loader's images are EXACTLY k/255 (PIL
+    # uint8 ops + /255, data/transforms.py), so round(src*255) recovers
+    # the source bytes losslessly, the gather moves 1-byte lanes (half of
+    # bf16), and the lerp runs on exact taps in the image dtype — strictly
+    # better numerics than bf16 taps for 8-bit-exact sources.
+    tap_q = 1.0
+    if tap_dtype is not None and jnp.dtype(tap_dtype) == jnp.uint8:
+        src = jnp.round(
+            jnp.clip(src.astype(jnp.float32), 0.0, 1.0) * 255.0
+        ).astype(jnp.uint8)
+        tap_q = 1.0 / 255.0
+    elif tap_dtype is not None:
         src = src.astype(tap_dtype)
     # Patch tensor: (B, sh, sw, 4C) rows = [p00 | p01 | p10 | p11] with
     # edge-replicated shifts (all fused elementwise by XLA).
@@ -206,18 +217,25 @@ def _gs_impl(
     # rather than reshaping to (..., 4, C) — that reshape re-tiles the 50M-
     # element gather output and costs a physical copy per tap at 1024^2.
     v00, v01, v10, v11 = (g4[..., i * c:(i + 1) * c] for i in range(4))
+    if tap_q != 1.0:
+        # Promote u8 taps before any arithmetic: the tangents below take
+        # tap DIFFERENCES, which wrap in uint8. 0..255 is exact in every
+        # float dtype; the dequant scale is folded in at the end.
+        v00, v01, v10, v11 = (v.astype(dtype) for v in (v00, v01, v10, v11))
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     out = top * (1 - wy) + bot * wy
+    if tap_q != 1.0:  # uint8 taps: one dequant multiply on the lerp result
+        out = out * jnp.asarray(tap_q, out.dtype)
     if not want_tangents:
         return out, None, None
     # Analytic d out/d fx, d out/d fy (floor/index paths are
     # piecewise-constant, exactly as autodiff treats them), chained through
     # the pixel scaling and clamp masks so the backward needs ONLY these
     # two fields: d out/d gx = sx * mask * ((v01-v00)(1-wy) + (v11-v10) wy).
-    fxs = jnp.asarray(sx, out.dtype)
-    fys = jnp.asarray(sy, out.dtype)
+    fxs = jnp.asarray(sx * tap_q, out.dtype)  # tap_q folds the u8 dequant
+    fys = jnp.asarray(sy * tap_q, out.dtype)
     if mx is not None:
         fxs = fxs * mx[..., None].astype(out.dtype)
         fys = fys * my[..., None].astype(out.dtype)

@@ -192,3 +192,38 @@ def test_const_img_vjp_grouped_path(rng, monkeypatch):
     got = jax.grad(lambda g: loss(g, False))(grid)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_uint8_taps_exact_on_8bit_images(rng, padding, monkeypatch):
+    """warp_tap_dtype=uint8: for 8-bit-exact sources (the loader's images
+    are k/255) the u8 tap path is lossless up to ONE fp32 ulp — the taps
+    are recovered exactly and only the dequant multiply is reassociated
+    (lerp(k)·(1/255) vs lerp(k/255)) — on grouped and direct paths, and
+    the const-image VJP matches plain autodiff."""
+    import jperceiver_tpu.ops.sampling as S
+
+    img = jnp.asarray((rng.integers(0, 256, (2, 14, 18, 3)) / 255.0)
+                      .astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.4, 1.4, (2, 9, 12, 2))
+                       .astype(np.float32))
+    exact = np.asarray(grid_sample(img, grid, padding_mode=padding))
+    got = np.asarray(grid_sample(img, grid, padding_mode=padding,
+                                 tap_dtype=jnp.uint8))
+    np.testing.assert_allclose(got, exact, rtol=0, atol=4e-7)
+    monkeypatch.setattr(S, "_GROUP_MIN_ROWS", 1)
+    grouped = np.asarray(grid_sample(img, grid, padding_mode=padding,
+                                     tap_dtype=jnp.uint8))
+    np.testing.assert_allclose(grouped, exact, rtol=0, atol=4e-7)
+
+    cot = jnp.asarray(rng.standard_normal((2, 9, 12, 3)).astype(np.float32))
+
+    def loss(g, img_grad):
+        out = grid_sample(img, g, padding_mode=padding,
+                          tap_dtype=jnp.uint8, img_grad=img_grad)
+        return jnp.sum(out * cot)
+
+    ref = jax.grad(lambda g: loss(g, True))(grid)
+    got_g = jax.grad(lambda g: loss(g, False))(grid)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
