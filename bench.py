@@ -71,6 +71,10 @@ def main() -> None:
     dots_cap = None
     if "--dots-cap" in sys.argv:
         dots_cap = int(sys.argv[sys.argv.index("--dots-cap") + 1])
+    tapcat_cap = None  # all-taps ONE-matmul form for convs with C_in<=cap
+    if "--tapcat-cap" in sys.argv:
+        tapcat_cap = int(sys.argv[sys.argv.index("--tapcat-cap") + 1])
+    tap_u8 = "--u8-taps" in sys.argv  # uint8 photometric gather taps
     # Skip the inactive BEV branch's forward (config-gated knob; the
     # reference computes both branches even for single-branch configs, so
     # the DEFAULT keeps parity and this flag measures the saving).
@@ -103,6 +107,10 @@ def main() -> None:
         cfg.conv3x3_dots = False
     if dots_cap is not None:
         cfg.conv3x3_dots_max_ch = dots_cap
+    if tapcat_cap is not None:
+        cfg.conv3x3_tapcat_max_ch = tapcat_cap
+    if tap_u8:
+        cfg.warp_tap_dtype = "uint8"
     if skip_branch:
         cfg.skip_inactive_branch = True
     if "--no-const-vjp" in sys.argv:  # plain-autodiff photometric warp

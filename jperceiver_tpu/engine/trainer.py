@@ -42,6 +42,9 @@ def make_train_step(model, cfg, donate: bool = True,
     # Default None = AUTO (on for the TPU backend, measured +6% whole-step).
     use_dots = cfg.get("conv3x3_dots", None) if hasattr(cfg, "get") else None
     dots_max_ch = cfg.get("conv3x3_dots_max_ch", None) if hasattr(cfg, "get") else None
+    # All-taps ONE-matmul form for shallow convs (C_in <= this): see
+    # ops/conv9dot.py::conv3x3_tapcat.
+    tapcat_max_ch = cfg.get("conv3x3_tapcat_max_ch", None) if hasattr(cfg, "get") else None
 
     def step(state, batch, rng):
         from ..models.common import conv_dots_scope, pallas_conv_scope, per_replica_bn
@@ -50,7 +53,7 @@ def make_train_step(model, cfg, donate: bool = True,
 
         def loss_fn(params):
             with per_replica_bn(bn_groups), pallas_conv_scope(use_pconv), \
-                    conv_dots_scope(use_dots, dots_max_ch):
+                    conv_dots_scope(use_dots, dots_max_ch, tapcat_max_ch):
                 outputs, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     batch,
@@ -87,11 +90,14 @@ def make_eval_step(model, cfg=None) -> Callable:
         cfg is not None and hasattr(cfg, "get")) else None
     dots_max_ch = cfg.get("conv3x3_dots_max_ch", None) if (
         cfg is not None and hasattr(cfg, "get")) else None
+    tapcat_max_ch = cfg.get("conv3x3_tapcat_max_ch", None) if (
+        cfg is not None and hasattr(cfg, "get")) else None
 
     def step(state, batch):
         from ..models.common import conv_dots_scope, pallas_conv_scope
 
-        with pallas_conv_scope(use_pconv), conv_dots_scope(use_dots, dots_max_ch):
+        with pallas_conv_scope(use_pconv), \
+                conv_dots_scope(use_dots, dots_max_ch, tapcat_max_ch):
             return model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch,

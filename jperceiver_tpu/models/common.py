@@ -119,6 +119,10 @@ _PALLAS_CONV_FORCE: bool = False  # tests: take the kernel path on CPU too
 # XLA's exact conv). `conv_dots_scope`/cfg.conv3x3_dots override.
 _CONV_DOTS: bool | None = None
 _CONV_DOTS_MAX_CH: int | None = None  # optional cap: C_in>cap keeps XLA conv
+# When set, dots-active convs with C_in <= this use the ONE-matmul
+# all-taps form (`conv3x3_tapcat`: K=9C dense contraction) instead of
+# nine K=C dots — denser MXU work in the shallow-channel regime.
+_CONV_TAPCAT_MAX_CH: int | None = None
 
 
 def _dots_active(c_in: int) -> bool:
@@ -128,6 +132,19 @@ def _dots_active(c_in: int) -> bool:
     if on and _CONV_DOTS_MAX_CH is not None:
         return c_in <= _CONV_DOTS_MAX_CH
     return on
+
+
+def _dots_fn(c_in: int):
+    """The active dots lowering for this channel depth (None = XLA conv)."""
+    if not _dots_active(c_in):
+        return None
+    if _CONV_TAPCAT_MAX_CH is not None and c_in <= _CONV_TAPCAT_MAX_CH:
+        from ..ops.conv9dot import conv3x3_tapcat
+
+        return conv3x3_tapcat
+    from ..ops.conv9dot import conv3x3_dots
+
+    return conv3x3_dots
 
 
 class pallas_conv_scope:
@@ -157,18 +174,21 @@ class conv_dots_scope:
     for instances with C_in above the cap."""
 
     def __init__(self, enabled: bool | None = True,
-                 max_ch: int | None = None):
+                 max_ch: int | None = None,
+                 tapcat_max_ch: int | None = None):
         self.enabled, self.max_ch = enabled, max_ch
+        self.tapcat_max_ch = tapcat_max_ch
 
     def __enter__(self):
-        global _CONV_DOTS, _CONV_DOTS_MAX_CH
-        self._prev = (_CONV_DOTS, _CONV_DOTS_MAX_CH)
+        global _CONV_DOTS, _CONV_DOTS_MAX_CH, _CONV_TAPCAT_MAX_CH
+        self._prev = (_CONV_DOTS, _CONV_DOTS_MAX_CH, _CONV_TAPCAT_MAX_CH)
         _CONV_DOTS, _CONV_DOTS_MAX_CH = self.enabled, self.max_ch
+        _CONV_TAPCAT_MAX_CH = self.tapcat_max_ch
         return self
 
     def __exit__(self, *exc):
-        global _CONV_DOTS, _CONV_DOTS_MAX_CH
-        _CONV_DOTS, _CONV_DOTS_MAX_CH = self._prev
+        global _CONV_DOTS, _CONV_DOTS_MAX_CH, _CONV_TAPCAT_MAX_CH
+        _CONV_DOTS, _CONV_DOTS_MAX_CH, _CONV_TAPCAT_MAX_CH = self._prev
         return False
 
 
@@ -212,11 +232,10 @@ class Conv3x3(nn.Module):
         k = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
         h, w = x.shape[1], x.shape[2]
-        if self.strides in (1, 2) and _dots_active(c):
-            from ..ops.conv9dot import conv3x3_dots
-
-            return conv3x3_dots(xd, k, b if self.use_bias else None,
-                                mode=self.mode, stride=self.strides)
+        dots = _dots_fn(c) if self.strides in (1, 2) else None
+        if dots is not None:
+            return dots(xd, k, b if self.use_bias else None,
+                        mode=self.mode, stride=self.strides)
         if self.strides == 1 and _pallas_conv_eligible(
                 c, self.features, h, w, xd.dtype.itemsize):
             from ..ops.pallas.conv3x3 import (pallas_conv3x3,

@@ -82,3 +82,41 @@ def conv3x3_dots(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
             acc = t if acc is None else acc + t
     y = acc.astype(x.dtype)
     return y + b.astype(x.dtype) if b is not None else y
+
+
+def conv3x3_tapcat(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
+                   mode: str = "same", stride: int = 1) -> jax.Array:
+    """3x3 conv as ONE matmul over the lane-concatenated 9 taps.
+
+    All nine shifted views are concatenated on the channel (lane) axis and
+    contracted in a single (B*Ho*Wo, 9C) @ (9C, O) dot — the StemConv
+    recipe (`models/resnet.py`) generalized to any 3x3. For SHALLOW inputs
+    this is denser MXU work than nine K=C dots (C=16 gives K=144 vs K=16;
+    a 128x128 MXU tile is K-starved below ~64), at the cost of writing the
+    9-tap concat (9x the input bytes) — a good trade only when C is small,
+    which is exactly the regime where the K=C dots are starved. Selection
+    is by C_in threshold (`models/common.py::_dots_active`).
+
+    Same contract as `conv3x3_dots`.
+    """
+    if mode == "same":
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    elif mode == "valid":
+        xp = x
+    else:
+        raise ValueError(f"unsupported mode: {mode}")
+    ho = (xp.shape[1] - 3) // stride + 1
+    wo = (xp.shape[2] - 3) // stride + 1
+    taps = []
+    for dy in range(3):
+        for dx in range(3):
+            taps.append(jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (xp.shape[0], dy + (ho - 1) * stride + 1,
+                 dx + (wo - 1) * stride + 1, xp.shape[3]),
+                (1, stride, stride, 1)))
+    t = jnp.concatenate(taps, axis=-1)  # (B,Ho,Wo,9C), lane order (dy,dx,c)
+    wf = w.reshape(-1, w.shape[-1])     # (9C, O), same (dy,dx,c) order
+    y = jnp.einsum("bhwk,ko->bhwo", t, wf).astype(x.dtype)
+    return y + b.astype(x.dtype) if b is not None else y

@@ -121,3 +121,54 @@ def test_conv3x3_module_scope():
     assert ys.shape == (1, 4, 4, 24)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(base_s),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode,stride", [("same", 1), ("same", 2),
+                                         ("valid", 1), ("valid", 2)])
+def test_tapcat_forward_parity(mode, stride):
+    from jperceiver_tpu.ops.conv9dot import conv3x3_tapcat
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 12, 14, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 16, 24)).astype(np.float32) / 16)
+    b = jnp.asarray(rng.normal(size=(24,)).astype(np.float32))
+    got = conv3x3_tapcat(x, w, b, mode=mode, stride=stride)
+    want = _ref_conv(x, w, b, mode, stride=stride)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tapcat_grad_parity():
+    from jperceiver_tpu.ops.conv9dot import conv3x3_tapcat
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 10, 11, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32) / 8)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+    def loss(f):
+        return lambda x, w, b: jnp.sum(jnp.sin(f(x, w, b)))
+
+    g_got = jax.grad(loss(conv3x3_tapcat), argnums=(0, 1, 2))(x, w, b)
+    g_want = jax.grad(loss(lambda x, w, b: _ref_conv(x, w, b, "same")),
+                      argnums=(0, 1, 2))(x, w, b)
+    for got, want in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_tapcat_module_routing():
+    """conv_dots_scope(tapcat_max_ch=N) routes C_in<=N through the
+    all-taps form with identical params and outputs."""
+    from jperceiver_tpu.models.common import Conv3x3, conv_dots_scope
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 12)).astype(np.float32))
+    m = Conv3x3(24)
+    v = m.init(jax.random.key(0), x)
+    base = m.apply(v, x)
+    with conv_dots_scope(True, tapcat_max_ch=16):
+        got = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
