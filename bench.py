@@ -75,6 +75,11 @@ def main() -> None:
     if "--tapcat-cap" in sys.argv:
         tapcat_cap = int(sys.argv[sys.argv.index("--tapcat-cap") + 1])
     tap_u8 = "--u8-taps" in sys.argv  # uint8 photometric gather taps
+    if "--gather-grp" in sys.argv:  # x-positions per photometric gather row
+        from jperceiver_tpu.ops import sampling as _sampling
+
+        _sampling._GROUP_WIDTH = int(
+            sys.argv[sys.argv.index("--gather-grp") + 1])
     # Skip the inactive BEV branch's forward (config-gated knob; the
     # reference computes both branches even for single-branch configs, so
     # the DEFAULT keeps parity and this flag measures the saving).
