@@ -268,6 +268,31 @@ def patched(name):
 
         rn.ResNet.__call__ = fake_resnet
         undo.append(lambda: setattr(rn.ResNet, "__call__", orig))
+    elif name == "no_bn":
+        # BatchNorm -> affine-only (params/stats kept so the step's pytree
+        # is unchanged; stats pass and normalize traffic removed) — sizes
+        # the cost of train-mode batch statistics across all ~60 BN sites.
+        from jperceiver_tpu.models import common as cm
+
+        orig = cm.BatchNorm.__call__
+
+        def fake_bn(self, x, use_running_average=None):
+            c = x.shape[-1]
+            scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+            bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
+            self.variable("batch_stats", "mean",
+                          lambda: jnp.zeros((c,), jnp.float32))
+            self.variable("batch_stats", "var",
+                          lambda: jnp.ones((c,), jnp.float32))
+            return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+        import flax.linen as fnn
+        from flax.linen.module import wrap_method_once
+
+        # Replicate what Module.__init_subclass__ does to methods, so
+        # self.param/self.variable work inside the monkeypatched body.
+        cm.BatchNorm.__call__ = wrap_method_once(fnn.compact(fake_bn))
+        undo.append(lambda: setattr(cm.BatchNorm, "__call__", orig))
     elif name == "no_crp_pool":
         # Replace the 16 CRP 5x5/s1 max-pools with identity — sizes the
         # pooling (fwd + custom equality-mask bwd) inside the decoder.
