@@ -150,7 +150,9 @@ def patched(name):
 
         JPerceiver.predict_poses = fake_poses
         undo.append(lambda: setattr(JPerceiver, "predict_poses", orig))
-    elif name == "no_layout":
+    elif name == "no_layout_fwd":
+        # Unlike no_layout (seg-loss stub; branch forward kept alive by its
+        # BN-stat outputs), this stubs the branch FORWARD itself.
         from jperceiver_tpu.models.jperceiver import JPerceiver
 
         orig = JPerceiver._layout_branch
