@@ -99,3 +99,30 @@ def test_kitti_object_dataset(tmp_path):
     assert np.isclose(s["odometry_K"][0, 0], 707.0)
     R = s["Tr_cam2_velo"][:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_sharded_equals_unsharded_dots_lowerings():
+    """Same DP-correctness claim with the TPU-default conv lowerings
+    forced on (nine-dot + shallow tapcat + stride-2 dots): the shifted
+    strided slices and lane-concat einsums must partition over the batch
+    axis without changing the math."""
+    cfg = _cfg()
+    cfg.conv3x3_dots = True
+    cfg.conv3x3_tapcat_max_ch = 32
+    model = JPerceiver(height=cfg.height, width=cfg.width,
+                       occ_map_size=cfg.occ_map_size)
+    raw = synthetic_batch(8, cfg.height, cfg.width, cfg.occ_map_size)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    tx, _ = build_optimizer(cfg, 100)
+    state0 = create_train_state(model, tx, batch, jax.random.key(0))
+    step = make_train_step(model, cfg, donate=False)
+
+    _, m_single = step(state0, batch, jax.random.key(7))
+
+    mesh = make_mesh()
+    sharded = shard_batch(mesh, batch)
+    _, m_shard = step(state0, sharded, jax.random.key(7))
+
+    for k in ("loss", "topview_loss", "min_reconstruct_loss/0"):
+        a, b = float(m_single[k]), float(m_shard[k])
+        assert np.isclose(a, b, rtol=1e-4), (k, a, b)
