@@ -90,10 +90,16 @@ def build_optimizer(cfg, steps_per_epoch: int, params=None):
     )
 
     if opt_type == "adam":
+        # Optional low-precision first moment (`optimizer.mu_dtype`,
+        # e.g. "bfloat16"): the Adam mu tensors are the largest part of
+        # optimizer HBM after ZeRO; bf16 mu frees ~param-size bytes for
+        # the B>=2 single-chip configs (nu stays fp32 — its magnitudes
+        # span too many decades for bf16). Off by default (exact parity).
+        mu_dtype = opt_cfg.get("mu_dtype", None)
         if wd:
-            core = optax.adamw(sched, weight_decay=wd)
+            core = optax.adamw(sched, weight_decay=wd, mu_dtype=mu_dtype)
         else:
-            core = optax.adam(sched)
+            core = optax.adam(sched, mu_dtype=mu_dtype)
     elif opt_type == "sgd":
         core = optax.sgd(sched, momentum=opt_cfg.get("momentum", 0.9))
     else:
