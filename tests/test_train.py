@@ -110,3 +110,19 @@ def test_sharded_train_step_8_devices():
     # Params remain replicated; batch stays sharded over 'data'.
     p = jax.tree_util.tree_leaves(new_state.params)[0]
     assert p.sharding.is_fully_replicated
+
+
+def test_adam_mu_dtype_knob():
+    """optimizer.mu_dtype="bfloat16" casts the first moment only."""
+    import optax  # noqa: F401 (knob resolves through optax.adam)
+
+    cfg = tiny_cfg()
+    cfg.optimizer = dict(type="Adam", lr=1e-4, mu_dtype="bfloat16")
+    tx, _ = build_optimizer(cfg, 100)
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    st = tx.init(params)
+    dtypes = {str(x.dtype) for x in jax.tree_util.tree_leaves(st)
+              if hasattr(x, "dtype") and x.ndim > 0}
+    assert "bfloat16" in dtypes  # mu
+    u, _ = tx.update({"w": jnp.full((4, 4), 0.1)}, st, params)
+    assert np.isfinite(np.asarray(u["w"])).all()
