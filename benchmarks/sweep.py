@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def measure(batch_size: int, remat: bool, dtype: str, h: int = 1024,
             n_iters: int = 10, reps: int = 3, cgt_hw=(375, 1242)) -> dict:
+    # env knobs for B>=2 memory levers: JP_SWEEP_MU_DTYPE=bfloat16,
+    # JP_SWEEP_U8_TAPS=1 (uint8 photometric gather taps).
+
     import jax
     import jax.numpy as jnp
 
@@ -40,11 +43,14 @@ def measure(batch_size: int, remat: bool, dtype: str, h: int = 1024,
             static_weight=5.0, dynamic_weight=15.0, loss_type="iou",
             loss_sum=3, loss_weight=20, loss2_weight=20, loss_weightS=20,
             loss2_weightS=20, cgt_label_hw=tuple(cgt_hw),
-            optimizer=dict(type="Adam", lr=1e-4, weight_decay=0),
+            optimizer=dict(type="Adam", lr=1e-4, weight_decay=0,
+                           mu_dtype=os.environ.get("JP_SWEEP_MU_DTYPE")),
             optimizer_config=dict(grad_clip=dict(max_norm=35, norm_type=2)),
             lr_config=dict(policy="step", warmup=None, step=[50]),
         )
     )
+    if os.environ.get("JP_SWEEP_U8_TAPS"):
+        cfg.warp_tap_dtype = "uint8"
     model = JPerceiver(
         height=h, width=w, occ_map_size=occ, remat=remat,
         dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
