@@ -75,6 +75,7 @@ def main() -> None:
     if "--tapcat-cap" in sys.argv:
         tapcat_cap = int(sys.argv[sys.argv.index("--tapcat-cap") + 1])
     tap_u8 = "--u8-taps" in sys.argv  # uint8 photometric gather taps
+    preproj = "--pallas-reproj" in sys.argv  # fused reprojection kernel
     if "--gather-grp" in sys.argv:  # x-positions per photometric gather row
         from jperceiver_tpu.ops import sampling as _sampling
 
@@ -116,6 +117,8 @@ def main() -> None:
         cfg.conv3x3_tapcat_max_ch = tapcat_cap
     if tap_u8:
         cfg.warp_tap_dtype = "uint8"
+    if preproj:
+        cfg.use_pallas_reproj = True
     if skip_branch:
         cfg.skip_inactive_branch = True
     if "--no-const-vjp" in sys.argv:  # plain-autodiff photometric warp

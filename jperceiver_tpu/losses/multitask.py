@@ -220,14 +220,28 @@ def compute_losses(
     # joint stack forced dead cotangent slices through the SSIM backward).
     ident = jnp.stack(
         [batch["color"][:, i] for i in range(1, n_f + 1)], axis=0)
-    warp_pairs = []
-    for si in range(n_scales):
-        warp_pairs += [all_preds[f][:, si] for f in fids]
-    preds = jnp.stack(warp_pairs, axis=0)
     ident_l = jax.lax.stop_gradient(
         reprojection_loss(ident, target)[..., 0])  # (F, B, H, W)
-    rl = reprojection_loss(preds, target)[..., 0]
-    warp_l = rl.reshape(n_scales, n_f, b, height, width)
+    # `use_pallas_reproj`: fuse SSIM+charbonnier+frame-min into one Pallas
+    # kernel (ops/pallas/reproj.py) — min(identity, min_warped) is the
+    # same 2F-way min as the stacked path (min is associative; identity
+    # pairs carry no gradient either way). Default off until
+    # whole-step-measured.
+    use_preproj = bool(cfg.get("use_pallas_reproj", False))
+    if use_preproj:
+        from ..ops.pallas.reproj import reproj_min_pallas
+
+        pstack = jnp.stack([all_preds[f] for f in fids], axis=2)
+        pstack = jnp.transpose(pstack, (1, 0, 2, 5, 3, 4))  # (S,B,F,C,H,W)
+        min_warp = reproj_min_pallas(
+            pstack, jnp.transpose(target, (0, 3, 1, 2)))  # (S, B, H, W)
+    else:
+        warp_pairs = []
+        for si in range(n_scales):
+            warp_pairs += [all_preds[f][:, si] for f in fids]
+        preds = jnp.stack(warp_pairs, axis=0)
+        rl = reprojection_loss(preds, target)[..., 0]
+        warp_l = rl.reshape(n_scales, n_f, b, height, width)
     if automask:
         # iid noise per (scale, frame, pixel), like the reference's
         # per-iteration torch.randn (`net.py:163`); one fused draw.
@@ -244,11 +258,17 @@ def compute_losses(
         disp = outputs[f"disp/{scale}"]
         _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
 
-        per_scale = warp_l[si]
-        if automask:
-            per_scale = jnp.concatenate(
-                [ident_l + noise[si], per_scale], axis=0)
-        min_reconstruct = per_scale.min(axis=0)
+        if use_preproj:
+            min_reconstruct = min_warp[si]
+            if automask:
+                min_reconstruct = jnp.minimum(
+                    min_reconstruct, (ident_l + noise[si]).min(axis=0))
+        else:
+            per_scale = warp_l[si]
+            if automask:
+                per_scale = jnp.concatenate(
+                    [ident_l + noise[si], per_scale], axis=0)
+            min_reconstruct = per_scale.min(axis=0)
         loss[f"min_reconstruct_loss/{scale}"] = min_reconstruct.mean() / n_scales
 
         loss[f"scale_loss/{scale}"] = (
