@@ -45,6 +45,7 @@ def test_fwd_parity_single_block_and_odd_sizes(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_parity(rng):
     """The whole backward: kernel interior + ring folds + corner fixups."""
     preds, targ = _mk(rng, s=2, b=2, f=2, h=24, w=20)
@@ -62,6 +63,7 @@ def test_grad_parity(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grad_parity_bf16_inputs(rng):
     preds, targ = _mk(rng, h=16, w=12)
     predsb = preds.astype(jnp.bfloat16)
@@ -79,6 +81,7 @@ def test_grad_parity_bf16_inputs(rng):
         rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_compute_losses_knob_equivalence(rng):
     """cfg.use_pallas_reproj reproduces the stacked-min photometric terms
     inside the full multi-task loss (same rng => same automask noise)."""
