@@ -220,8 +220,6 @@ def compute_losses(
     # joint stack forced dead cotangent slices through the SSIM backward).
     ident = jnp.stack(
         [batch["color"][:, i] for i in range(1, n_f + 1)], axis=0)
-    ident_l = jax.lax.stop_gradient(
-        reprojection_loss(ident, target)[..., 0])  # (F, B, H, W)
     # `use_pallas_reproj`: fuse SSIM+charbonnier+frame-min into one Pallas
     # kernel (ops/pallas/reproj.py) — min(identity, min_warped) is the
     # same 2F-way min as the stacked path (min is associative; identity
@@ -231,11 +229,19 @@ def compute_losses(
     if use_preproj:
         from ..ops.pallas.reproj import reproj_min_pallas
 
+        targ_pl = jnp.transpose(target, (0, 3, 1, 2))  # (B, C, H, W)
+        # Identity pairs through the same kernel: frames on the SCALE
+        # axis with a singleton frame dim, so the 1-way "min" is the
+        # per-pair loss. Pure data — stop_gradient skips the bwd kernel.
+        ident_l = jax.lax.stop_gradient(reproj_min_pallas(
+            jnp.transpose(ident, (0, 1, 4, 2, 3))[:, :, None],
+            targ_pl))  # (F, B, H, W)
         pstack = jnp.stack([all_preds[f] for f in fids], axis=2)
         pstack = jnp.transpose(pstack, (1, 0, 2, 5, 3, 4))  # (S,B,F,C,H,W)
-        min_warp = reproj_min_pallas(
-            pstack, jnp.transpose(target, (0, 3, 1, 2)))  # (S, B, H, W)
+        min_warp = reproj_min_pallas(pstack, targ_pl)  # (S, B, H, W)
     else:
+        ident_l = jax.lax.stop_gradient(
+            reprojection_loss(ident, target)[..., 0])  # (F, B, H, W)
         warp_pairs = []
         for si in range(n_scales):
             warp_pairs += [all_preds[f][:, si] for f in fids]
