@@ -76,6 +76,7 @@ def main() -> None:
         tapcat_cap = int(sys.argv[sys.argv.index("--tapcat-cap") + 1])
     tap_u8 = "--u8-taps" in sys.argv  # uint8 photometric gather taps
     preproj = "--pallas-reproj" in sys.argv  # fused reprojection kernel
+    preproj_bf16 = "--reproj-bf16" in sys.argv  # bf16 kernel operands
     if "--gather-grp" in sys.argv:  # x-positions per photometric gather row
         from jperceiver_tpu.ops import sampling as _sampling
 
@@ -119,6 +120,9 @@ def main() -> None:
         cfg.warp_tap_dtype = "uint8"
     if preproj:
         cfg.use_pallas_reproj = True
+    if preproj_bf16:
+        cfg.use_pallas_reproj = True
+        cfg.pallas_reproj_bf16 = True
     if skip_branch:
         cfg.skip_inactive_branch = True
     if "--no-const-vjp" in sys.argv:  # plain-autodiff photometric warp

@@ -230,6 +230,12 @@ def compute_losses(
         from ..ops.pallas.reproj import reproj_min_pallas
 
         targ_pl = jnp.transpose(target, (0, 3, 1, 2))  # (B, C, H, W)
+        # Optional bf16 kernel operands (`pallas_reproj_bf16`): halves the
+        # kernel's HBM traffic; window statistics still accumulate fp32 in
+        # VMEM. Same 8-bit-image argument as warp_tap_dtype=bfloat16.
+        if bool(cfg.get("pallas_reproj_bf16", False)):
+            targ_pl = targ_pl.astype(jnp.bfloat16)
+            ident = ident.astype(jnp.bfloat16)
         # Identity pairs through the same kernel: frames on the SCALE
         # axis with a singleton frame dim, so the 1-way "min" is the
         # per-pair loss. Pure data — stop_gradient skips the bwd kernel.
@@ -238,6 +244,7 @@ def compute_losses(
             targ_pl))  # (F, B, H, W)
         pstack = jnp.stack([all_preds[f] for f in fids], axis=2)
         pstack = jnp.transpose(pstack, (1, 0, 2, 5, 3, 4))  # (S,B,F,C,H,W)
+        pstack = pstack.astype(targ_pl.dtype)
         min_warp = reproj_min_pallas(pstack, targ_pl)  # (S, B, H, W)
     else:
         ident_l = jax.lax.stop_gradient(
