@@ -239,16 +239,20 @@ def compute_losses(
         # Identity pairs through the same kernel: frames on the SCALE
         # axis with a singleton frame dim, so the 1-way "min" is the
         # per-pair loss. Pure data — stop_gradient skips the bwd kernel.
-        ident_l = jax.lax.stop_gradient(reproj_min_pallas(
-            jnp.transpose(ident, (0, 1, 4, 2, 3))[:, :, None],
-            targ_pl))  # (F, B, H, W)
+        # (Only needed for automasking, like the reference's identity
+        # reprojection, `net.py:159-164`.)
+        if automask:
+            ident_l = jax.lax.stop_gradient(reproj_min_pallas(
+                jnp.transpose(ident, (0, 1, 4, 2, 3))[:, :, None],
+                targ_pl))  # (F, B, H, W)
         pstack = jnp.stack([all_preds[f] for f in fids], axis=2)
         pstack = jnp.transpose(pstack, (1, 0, 2, 5, 3, 4))  # (S,B,F,C,H,W)
         pstack = pstack.astype(targ_pl.dtype)
         min_warp = reproj_min_pallas(pstack, targ_pl)  # (S, B, H, W)
     else:
-        ident_l = jax.lax.stop_gradient(
-            reprojection_loss(ident, target)[..., 0])  # (F, B, H, W)
+        if automask:
+            ident_l = jax.lax.stop_gradient(
+                reprojection_loss(ident, target)[..., 0])  # (F, B, H, W)
         warp_pairs = []
         for si in range(n_scales):
             warp_pairs += [all_preds[f][:, si] for f in fids]
