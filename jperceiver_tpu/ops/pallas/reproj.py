@@ -35,6 +35,16 @@ gradient on the closed interval.
 Gated by `cfg.use_pallas_reproj` (default OFF until whole-step-measured —
 the Pallas-conv precedent in DESIGN.md: standalone wins must be confirmed
 by a full `bench.py` run on the real chip).
+
+Data parallelism: a bare `pallas_call` carries no GSPMD partitioning
+rule, so under a batch-sharded step the compiler would all-gather the
+warped stack and run the kernel replicated (the CPU interpret backend
+deadlocks its collective rendezvous outright). Both kernels are therefore
+wrapped in `jax.experimental.custom_partitioning` shard-over-(S, B)
+rules — the grid already treats (scale, batch) blocks independently, so
+each device simply runs the kernel on its local batch shard; H/W/F/C
+shardings are forced replicated. (`use_pallas_conv` has no such wrapper —
+that knob remains single-chip.)
 """
 
 from __future__ import annotations
@@ -280,6 +290,57 @@ def _fold_h(v):
 # Public entry.
 
 
+def _sb_partitioned(impl, rule, arg_leads):
+    """Wrap an (S, B)-pointwise computation in a custom_partitioning rule
+    (Shardy einsum-style `sharding_rule`): s/b dims may shard; every other
+    factor is forced replicated, and `impl` runs on the local shards.
+
+    `arg_leads[i]` names arg i's leading dims — "sb" for (S, B, ...) or
+    "b" for (B, ...) — matching `rule` (rank alone can't distinguish the
+    4-D targ from the 4-D cotangent).
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def part(mesh, arg_infos, result_infos):
+        # Shard s/b exactly as the first operand's dims 0/1 arrive; all
+        # other dims replicated (collectives inserted by the partitioner
+        # if an operand disagrees).
+        spec = getattr(arg_infos[0].sharding, "spec", None) or P()
+        s_ax = spec[0] if len(spec) > 0 else None
+        b_ax = spec[1] if len(spec) > 1 else None
+
+        def arg_sh(info, lead):
+            nd = len(info.shape)
+            head = [s_ax, b_ax] if lead == "sb" else [b_ax]
+            return NamedSharding(mesh, P(*(head + [None] * (nd - len(head)))))
+
+        arg_shardings = tuple(
+            arg_sh(i, l) for i, l in zip(arg_infos, arg_leads))
+        nd_out = len(result_infos.shape)
+        out_sharding = NamedSharding(
+            mesh, P(*([s_ax, b_ax] + [None] * (nd_out - 2))))
+        return mesh, impl, out_sharding, arg_shardings
+
+    f = custom_partitioning(impl)
+    f.def_partition(partition=part, sharding_rule=rule)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cp(block_rows):
+    return _sb_partitioned(
+        lambda preds, targ: _fwd(preds, targ, block_rows),
+        "s b f c h w, b c h w -> s b h w", ("sb", "b"))
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(block_rows):
+    return _sb_partitioned(
+        lambda preds, targ, cot: _bwd_core(preds, targ, cot, block_rows),
+        "s b f c h w, b c h w, s b h w -> s b f c h w", ("sb", "b", "sb"))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def reproj_min_pallas(preds, targ, block_rows=64):
     """Fused `min_f(0.85*SSIM + 0.15*charb)` per (scale, batch, pixel).
@@ -291,7 +352,7 @@ def reproj_min_pallas(preds, targ, block_rows=64):
       (S, B, H, W) fp32 — min over frames of the reprojection loss, with
       the reference's reflect-padded 3x3 SSIM windows.
     """
-    return _fwd(preds, targ, block_rows)
+    return _fwd_cp(block_rows)(preds, targ)
 
 
 def _block_rows_for(h, block_rows):
@@ -324,12 +385,12 @@ def _fwd(preds, targ, block_rows):
     return out
 
 
-def _vjp_fwd(preds, targ, block_rows):
-    return _fwd(preds, targ, block_rows), (preds, targ)
+def _bwd_core(preds, targ, cot, block_rows):
+    """Interior pred gradients + ring fixups -> (S, B, F, C, H, W) fp32.
 
-
-def _vjp_bwd(block_rows, res, cot):
-    preds, targ = res
+    Shard-local under the custom_partitioning wrapper: every term
+    (kernel blocks AND the ring strip closures) depends only on this
+    shard's (S, B) slice."""
     s, b, f, c, h, w = preds.shape
     # Smaller backward blocks: the grad-of-closure kernel holds the
     # block's forward residuals in VMEM (~16 MB/core on v5e).
@@ -365,7 +426,17 @@ def _vjp_bwd(block_rows, res, cot):
         else:
             i, j = where
             dint = dint.at[:, :, :, :, i, j].add(val)
-    dtarg = None  # target is input data in every call site (no cotangent)
+    return dint
+
+
+def _vjp_fwd(preds, targ, block_rows):
+    return _fwd_cp(block_rows)(preds, targ), (preds, targ)
+
+
+def _vjp_bwd(block_rows, res, cot):
+    preds, targ = res
+    dint = _bwd_cp(block_rows)(preds, targ, cot)
+    # Target is input data in every call site — no cotangent needed.
     return dint.astype(preds.dtype), jnp.zeros_like(targ)
 
 
