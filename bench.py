@@ -75,6 +75,7 @@ def main() -> None:
     if "--tapcat-cap" in sys.argv:
         tapcat_cap = int(sys.argv[sys.argv.index("--tapcat-cap") + 1])
     tap_u8 = "--u8-taps" in sys.argv  # uint8 photometric gather taps
+    fold_up = "--fold-upconv" in sys.argv  # fuse nearest-up2 into convs
     preproj = "--pallas-reproj" in sys.argv  # fused reprojection kernel
     preproj_bf16 = "--reproj-bf16" in sys.argv  # bf16 kernel operands
     if "--gather-grp" in sys.argv:  # x-positions per photometric gather row
@@ -118,6 +119,8 @@ def main() -> None:
         cfg.conv3x3_tapcat_max_ch = tapcat_cap
     if tap_u8:
         cfg.warp_tap_dtype = "uint8"
+    if fold_up:
+        cfg.fold_upconv = True
     if preproj:
         cfg.use_pallas_reproj = True
     if preproj_bf16:

@@ -45,15 +45,19 @@ def make_train_step(model, cfg, donate: bool = True,
     # All-taps ONE-matmul form for shallow convs (C_in <= this): see
     # ops/conv9dot.py::conv3x3_tapcat.
     tapcat_max_ch = cfg.get("conv3x3_tapcat_max_ch", None) if hasattr(cfg, "get") else None
+    # Fold nearest-up2 into the consuming convs (ops/conv9dot.py).
+    fold_up = bool(cfg.get("fold_upconv", False)) if hasattr(cfg, "get") else False
 
     def step(state, batch, rng):
-        from ..models.common import conv_dots_scope, pallas_conv_scope, per_replica_bn
+        from ..models.common import (conv_dots_scope, fold_upconv_scope,
+                                     pallas_conv_scope, per_replica_bn)
 
         dropout_rng, loss_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
             with per_replica_bn(bn_groups), pallas_conv_scope(use_pconv), \
-                    conv_dots_scope(use_dots, dots_max_ch, tapcat_max_ch):
+                    conv_dots_scope(use_dots, dots_max_ch, tapcat_max_ch), \
+                    fold_upconv_scope(fold_up):
                 outputs, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     batch,
@@ -92,12 +96,16 @@ def make_eval_step(model, cfg=None) -> Callable:
         cfg is not None and hasattr(cfg, "get")) else None
     tapcat_max_ch = cfg.get("conv3x3_tapcat_max_ch", None) if (
         cfg is not None and hasattr(cfg, "get")) else None
+    fold_up = bool(cfg.get("fold_upconv", False)) if (
+        cfg is not None and hasattr(cfg, "get")) else False
 
     def step(state, batch):
-        from ..models.common import conv_dots_scope, pallas_conv_scope
+        from ..models.common import (conv_dots_scope, fold_upconv_scope,
+                                     pallas_conv_scope)
 
         with pallas_conv_scope(use_pconv), \
-                conv_dots_scope(use_dots, dots_max_ch, tapcat_max_ch):
+                conv_dots_scope(use_dots, dots_max_ch, tapcat_max_ch), \
+                fold_upconv_scope(fold_up):
             return model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch,

@@ -123,6 +123,43 @@ _CONV_DOTS_MAX_CH: int | None = None  # optional cap: C_in>cap keeps XLA conv
 # all-taps form (`conv3x3_tapcat`: K=9C dense contraction) instead of
 # nine K=C dots — denser MXU work in the shallow-channel regime.
 _CONV_TAPCAT_MAX_CH: int | None = None
+# Fold nearest-up2 into the following 3x3 conv (`ops/conv9dot.py::
+# upconv3x3_dots`): 2.25x fewer conv FLOPs on the up->conv edges and no
+# (2H, 2W, C) upsample materialization. Trace-time knob like the others.
+_FOLD_UPCONV: bool = False
+
+
+class PreUp:
+    """Marker: this activation is PRE-upsample; the consuming conv folds
+    the x2-nearest upsample into its own taps (`upconv3x3_dots`)."""
+
+    __slots__ = ("x",)
+
+    def __init__(self, x):
+        self.x = x
+
+
+class fold_upconv_scope:
+    """Trace-time switch (`cfg.fold_upconv`): decoders hand `PreUp`
+    activations to their up->conv edges instead of materializing the
+    nearest-up2 tensor."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _FOLD_UPCONV
+        self._prev, _FOLD_UPCONV = _FOLD_UPCONV, self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _FOLD_UPCONV
+        _FOLD_UPCONV = self._prev
+        return False
+
+
+def fold_upconv_active() -> bool:
+    return _FOLD_UPCONV
 
 
 def _dots_active(c_in: int) -> bool:
@@ -220,6 +257,9 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        pre_up = isinstance(x, PreUp)
+        if pre_up:
+            x = x.x
         c = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, c, self.features), jnp.float32)
@@ -228,6 +268,16 @@ class Conv3x3(nn.Module):
                               (self.features,), jnp.float32)
         else:
             bias = jnp.zeros((self.features,), jnp.float32)
+        if pre_up:
+            # Fused nearest-up2 + conv (identical params): SAME mode means
+            # zero pad on the (virtual) up grid, stride must be 1.
+            assert self.strides == 1 and self.mode == "same"
+            from ..ops.conv9dot import upconv3x3_dots
+
+            return upconv3x3_dots(
+                x.astype(self.dtype), kernel,
+                bias.astype(self.dtype) if self.use_bias else None,
+                pad="zero")
         xd = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
@@ -290,6 +340,8 @@ class DispConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         # param-tree parity with ConvReflect3x3: nested "conv" module scope
+        if isinstance(x, PreUp):
+            return _DispConvFold(dtype=self.dtype, name="conv")(x.x)
         return _DispConvInner(dtype=self.dtype, name="conv")(reflect_pad(x))
 
 
@@ -312,6 +364,23 @@ class _DispConvInner(nn.Module):
                 t = z[:, ky:ky + h, kx:kx + w, ky * 3 + kx]
                 y = t if y is None else y + t
         return y[..., None] + bias.astype(y.dtype)
+
+
+class _DispConvFold(nn.Module):
+    """`_DispConvInner(reflect_pad(up2(x)))` with the upsample folded in
+    (`ops/conv9dot.py::updisp3x3`); identical "kernel"/"bias" params."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c, 1), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
+        from ..ops.conv9dot import updisp3x3
+
+        return updisp3x3(x.astype(self.dtype), kernel, bias)
 
 
 class ConvReflect3x3Split(nn.Module):
@@ -343,7 +412,7 @@ class _SplitConvInner(nn.Module):
 
     @nn.compact
     def __call__(self, parts):
-        cs = [p.shape[-1] for p in parts]
+        cs = [(p.x if isinstance(p, PreUp) else p).shape[-1] for p in parts]
         total = sum(cs)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, total, self.features), jnp.float32)
@@ -353,6 +422,17 @@ class _SplitConvInner(nn.Module):
         off = 0
         for p, c in zip(parts, cs):
             kp = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
+            if isinstance(p, PreUp):
+                # Pre-upsample part: fold the x2-nearest into this part's
+                # taps (reflect-on-up == edge-pad on x); output lands at
+                # the other parts' (up) resolution.
+                from ..ops.conv9dot import upconv3x3_dots
+
+                t = upconv3x3_dots(p.x.astype(self.dtype), kp, None,
+                                   pad="reflect")
+                y = t if y is None else y + t
+                off += c
+                continue
             pp = reflect_pad(p).astype(self.dtype)
             if c <= 4:
                 # A C_in<=4 3x3 conv runs at <4/128 input-lane utilization

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..ops.sampling import upsample2x_nearest
 from .common import (Conv1x1, ConvReflect3x3, ConvReflect3x3Split, CRPBlock,
-                     DispConv)
+                     DispConv, PreUp, fold_upconv_active)
 from .resnet import ResNet
 
 
@@ -55,6 +55,13 @@ class DepthDecoder(nn.Module):
                 ConvReflect3x3Split(bn, self.dtype, name=f"iconv{idx}")(parts))
             x = CRPBlock(bn, 4, self.dtype, name=f"crp{idx}")(x)
             x = lrelu(ConvReflect3x3(bn, self.dtype, name=f"merge{idx}")(x))
+            if fold_upconv_active():
+                # Never materialize the x2-nearest tensor: both consumers
+                # (the disp head here, the next level's iconv part) fold
+                # the upsample into their own conv taps (ops/conv9dot.py).
+                disp = nn.sigmoid(
+                    DispConv(self.dtype, name=f"disp{idx}")(PreUp(x)))
+                return PreUp(x), disp
             x = upsample2x_nearest(x)
             disp = nn.sigmoid(DispConv(self.dtype, name=f"disp{idx}")(x))
             return x, disp

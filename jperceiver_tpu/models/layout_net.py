@@ -140,12 +140,16 @@ class LayoutDecoder(nn.Module):
             dtype=self.dtype, name=name,
         )
         from ..ops.sampling import upsample2x_nearest
+        from .common import PreUp, fold_upconv_active
 
         for i in range(4, -1, -1):
             ch = num_ch[i]
             x = Conv3x3(ch, dtype=self.dtype, name=f"upconv_{i}_0")(x)
             x = nn.relu(norm(f"norm_{i}_0")(x))
-            x = upsample2x_nearest(x)
+            if fold_upconv_active():
+                x = PreUp(x)  # Conv3x3 folds the up2 into its taps
+            else:
+                x = upsample2x_nearest(x)
             x = Conv3x3(ch, dtype=self.dtype, name=f"upconv_{i}_1")(x)
             x = norm(f"norm_{i}_1")(x)
         return ConvReflect3x3(self.num_class, self.dtype, name="topview")(x)
