@@ -18,7 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def measure(batch_size: int, remat: bool, dtype: str, h: int = 1024,
             n_iters: int = 10, reps: int = 3, cgt_hw=(375, 1242)) -> dict:
     # env knobs for B>=2 memory levers: JP_SWEEP_MU_DTYPE=bfloat16,
-    # JP_SWEEP_U8_TAPS=1 (uint8 photometric gather taps).
+    # JP_SWEEP_U8_TAPS=1 (uint8 photometric gather taps),
+    # JP_SWEEP_FOLD_UP=1 (fold nearest-up2 into the consuming convs —
+    # the saved conv residual is the PRE-up tensor, 1/4 the bytes),
+    # JP_SWEEP_PALLAS_REPROJ=1 (fused reprojection loss — no SSIM
+    # statistic fields saved for backward).
 
     import jax
     import jax.numpy as jnp
@@ -51,6 +55,10 @@ def measure(batch_size: int, remat: bool, dtype: str, h: int = 1024,
     )
     if os.environ.get("JP_SWEEP_U8_TAPS"):
         cfg.warp_tap_dtype = "uint8"
+    if os.environ.get("JP_SWEEP_FOLD_UP"):
+        cfg.fold_upconv = True
+    if os.environ.get("JP_SWEEP_PALLAS_REPROJ"):
+        cfg.use_pallas_reproj = True
     model = JPerceiver(
         height=h, width=w, occ_map_size=occ, remat=remat,
         dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,

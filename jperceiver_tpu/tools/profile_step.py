@@ -25,6 +25,12 @@ def main(argv=None) -> None:
                    help="enable the nine-shifted-matmul conv lowering")
     p.add_argument("--pallas-conv", action="store_true",
                    help="route eligible 3x3 convs through the Pallas kernel")
+    p.add_argument("--pallas-reproj", action="store_true",
+                   help="fused SSIM+charbonnier+frame-min Pallas kernel")
+    p.add_argument("--u8-taps", action="store_true",
+                   help="uint8 photometric gather taps")
+    p.add_argument("--fold-upconv", action="store_true",
+                   help="fold nearest-up2 into the consuming convs")
     args = p.parse_args(argv)
 
     import os
@@ -74,6 +80,12 @@ def main(argv=None) -> None:
         model_cfg.use_pallas_conv = True
     if args.dots:
         model_cfg.conv3x3_dots = True
+    if args.pallas_reproj:
+        model_cfg.use_pallas_reproj = True
+    if args.u8_taps:
+        model_cfg.warp_tap_dtype = "uint8"
+    if args.fold_upconv:
+        model_cfg.fold_upconv = True
 
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(1, h, w, occ).items()}
     tx, _ = build_optimizer(model_cfg, 1000)
