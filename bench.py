@@ -64,25 +64,33 @@ def main() -> None:
     from jperceiver_tpu.engine import build_optimizer, create_train_state, make_train_step
     from jperceiver_tpu.models import JPerceiver
 
+    def int_flag(name):
+        """Value of `name <int>` in argv, or None; exits with a message on
+        a missing/non-integer value instead of IndexError/ValueError."""
+        if name not in sys.argv:
+            return None
+        i = sys.argv.index(name)
+        if i + 1 >= len(sys.argv) or not sys.argv[i + 1].lstrip("-").isdigit() \
+                or sys.argv[i + 1].startswith("--"):
+            sys.exit(f"bench.py: {name} requires an integer value")
+        return int(sys.argv[i + 1])
+
     quick = "--quick" in sys.argv
     pconv = "--pallas-conv" in sys.argv
     # 9-shifted-matmul conv lowering: AUTO (on for TPU) unless forced.
     no_dots = "--no-dots" in sys.argv
-    dots_cap = None
-    if "--dots-cap" in sys.argv:
-        dots_cap = int(sys.argv[sys.argv.index("--dots-cap") + 1])
-    tapcat_cap = None  # all-taps ONE-matmul form for convs with C_in<=cap
-    if "--tapcat-cap" in sys.argv:
-        tapcat_cap = int(sys.argv[sys.argv.index("--tapcat-cap") + 1])
+    dots_cap = int_flag("--dots-cap")
+    # all-taps ONE-matmul form for convs with C_in<=cap
+    tapcat_cap = int_flag("--tapcat-cap")
     tap_u8 = "--u8-taps" in sys.argv  # uint8 photometric gather taps
     fold_up = "--fold-upconv" in sys.argv  # fuse nearest-up2 into convs
     preproj = "--pallas-reproj" in sys.argv  # fused reprojection kernel
     preproj_bf16 = "--reproj-bf16" in sys.argv  # bf16 kernel operands
-    if "--gather-grp" in sys.argv:  # x-positions per photometric gather row
+    gather_grp = int_flag("--gather-grp")  # x-positions per gather row
+    if gather_grp is not None:
         from jperceiver_tpu.ops import sampling as _sampling
 
-        _sampling._GROUP_WIDTH = int(
-            sys.argv[sys.argv.index("--gather-grp") + 1])
+        _sampling._GROUP_WIDTH = gather_grp
     # Skip the inactive BEV branch's forward (config-gated knob; the
     # reference computes both branches even for single-branch configs, so
     # the DEFAULT keeps parity and this flag measures the saving).

@@ -84,7 +84,10 @@ def main():
             float(many(x, w, b))  # scalar fetch = the only honest sync
             return time.perf_counter() - t0
 
-        floor = timed(null_conv, with_bwd=False)
+        # Floor must include the same per-iteration chain shape as the
+        # measured candidates: under --bwd the value_and_grad wrapper adds
+        # its own loop overhead, so measure the null op through it too.
+        floor = timed(null_conv)
         for label, f in (("xla", xla_conv), ("pallas", pallas_conv3x3)):
             dt = max(timed(f) - floor, 1e-9)
             mult = 3 if with_bwd else 1  # fwd+dgrad+wgrad

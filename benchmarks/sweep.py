@@ -103,6 +103,10 @@ def main() -> None:
         (4, True, "bf16"),
     ]
     args = [a for a in sys.argv[1:] if a != "--quick"]
+    bad = [a for a in args if a.count(":") != 2]
+    if bad:  # unknown flags would otherwise crash parse() below
+        sys.exit(f"sweep.py: configs are b:remat:dtype triples "
+                 f"(e.g. 2:enc:bf16); got {bad}. Env knobs: JP_SWEEP_*.")
     if args:  # e.g. `sweep.py 2:enc:bf16 3:False:bf16`
         def parse(s):
             b, r, dt = s.split(":")

@@ -200,11 +200,14 @@ class SimulatedDataset:
         if not 0 <= i < self.n_scenes:
             raise IndexError(i)
         if self._cache is not None and i in self._cache:
-            return self._cache[i]
+            # Shallow copy: consumers that pop/overwrite keys must not
+            # corrupt the cache for later epochs (arrays stay shared).
+            return dict(self._cache[i])
         sample, gt = render_scene(self.seed * 100003 + i,
                                   self.height, self.width)
         if self.with_gt:
             sample = dict(sample, gt_depth=gt["depth"])
         if self._cache is not None:
             self._cache[i] = sample
+            return dict(sample)
         return sample

@@ -74,7 +74,7 @@ class EvalHook:
         self.with_depth = with_depth
         self.with_layout = with_layout
         self.max_batches = max_batches
-        self.eval_step = make_eval_step(model)
+        self.eval_step = make_eval_step(model, cfg)
 
     def __call__(self, state, epoch: int) -> dict:
         import jax

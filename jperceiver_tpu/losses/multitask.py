@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.geometry import backproject, disp_to_depth, project
 from ..ops.photometric import reprojection_loss
-from ..ops.sampling import resize_bilinear
+from ..ops.sampling import resize_area, resize_bilinear
 from ..ops.seg_losses import topview_seg_loss
 from ..ops.smoothness import edge_aware_smoothness
 from .cgt import cgt_scale_label
@@ -299,8 +299,6 @@ def compute_losses(
         dh, dw = disp.shape[1], disp.shape[2]
         while img_pyr.shape[1] > dh and img_pyr.shape[1] % 2 == 0 \
                 and (img_pyr.shape[1] // 2) % dh == 0:
-            from ..ops.sampling import resize_area
-
             img_pyr = resize_area(
                 img_pyr, img_pyr.shape[1] // 2, img_pyr.shape[2] // 2)
         smooth = edge_aware_smoothness(

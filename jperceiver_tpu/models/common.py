@@ -229,14 +229,14 @@ class conv_dots_scope:
         return False
 
 
-def _pallas_conv_eligible(c_in, c_out, h, w, itemsize) -> bool:
+def _pallas_conv_eligible(c_in, c_out, h, w) -> bool:
     from ..ops.pallas.conv3x3 import use_pallas_conv
 
     if not _PALLAS_CONV:
         return False
     if _PALLAS_CONV_FORCE:
         return h >= 4 and w >= 4
-    return use_pallas_conv(c_in, c_out, h, w, itemsize)
+    return use_pallas_conv(c_in, c_out, h, w)
 
 
 class Conv3x3(nn.Module):
@@ -287,7 +287,7 @@ class Conv3x3(nn.Module):
             return dots(xd, k, b if self.use_bias else None,
                         mode=self.mode, stride=self.strides)
         if self.strides == 1 and _pallas_conv_eligible(
-                c, self.features, h, w, xd.dtype.itemsize):
+                c, self.features, h, w):
             from ..ops.pallas.conv3x3 import (pallas_conv3x3,
                                               pallas_conv3x3_valid)
 

@@ -188,8 +188,7 @@ pallas_conv3x3 = _make(1)
 pallas_conv3x3_valid = _make(0)
 
 
-def use_pallas_conv(c_in: int, c_out: int, h: int, w: int,
-                    itemsize: int = 2) -> bool:
+def use_pallas_conv(c_in: int, c_out: int, h: int, w: int) -> bool:
     """Eligibility: TPU backend + the per-op chained bench's win regime.
 
     MEASURED NEGATIVE on the whole step (round 3) — the flag stays off
@@ -218,7 +217,6 @@ def use_pallas_conv(c_in: int, c_out: int, h: int, w: int,
 def conv3x3_auto(x: jax.Array, w: jax.Array, use_pallas: bool = True) -> jax.Array:
     """Pallas path when available/applicable, else the XLA conv."""
     if use_pallas and use_pallas_conv(
-            x.shape[-1], w.shape[-1], x.shape[1], x.shape[2],
-            x.dtype.itemsize):
+            x.shape[-1], w.shape[-1], x.shape[1], x.shape[2]):
         return pallas_conv3x3(x, w, jnp.zeros((w.shape[-1],), x.dtype))
     return _ref_conv(x, w, 1)

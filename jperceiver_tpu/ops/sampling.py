@@ -244,11 +244,13 @@ def _gs_impl(
     return out, dgx, dgy
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _const_img_gs_fn(padding_mode, align_corners, tap_dtype_name,
                      img_shape, img_dtype_name, grid_dtype_name):
     """custom_vjp grid_sample specialization (static config via cache key —
-    residual pytrees may only hold arrays, so shapes/dtypes live here)."""
+    residual pytrees may only hold arrays, so shapes/dtypes live here).
+    Bounded cache: a fixed-shape trainer uses a handful of entries; a
+    variable-resolution caller must not grow closures without limit."""
     tap_dtype = jnp.dtype(tap_dtype_name) if tap_dtype_name else None
     img_dtype = jnp.dtype(img_dtype_name)
     grid_dtype = jnp.dtype(grid_dtype_name)

@@ -45,7 +45,7 @@ def main(argv=None):
     state = create_train_state(model, tx, jb, jax.random.key(0))
     state = load_weights(args.checkpoint, state, epoch=args.epoch)
 
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, model_cfg)
     rows = []
     ratios = []
     for bi, batch in enumerate(loader):

@@ -34,8 +34,10 @@ def test_dataset_shapes_and_gt():
     assert s["bev_static_sdf"].shape == (16, 16, 1)
     assert s["gt_depth"].shape == (64, 64)
     assert np.isfinite(s["gt_depth"]).all() and (s["gt_depth"] > 0).all()
-    # cache returns the same object; distinct scenes differ
-    assert ds[0] is s
+    # cache returns a shallow copy (same arrays, fresh dict: a consumer
+    # popping keys must not corrupt the cache); distinct scenes differ
+    s2 = ds[0]
+    assert s2 is not s and s2["color"] is s["color"]
     assert not np.array_equal(ds[1]["color"], s["color"])
 
 
