@@ -18,6 +18,17 @@ so here they are regenerated from the dataset tree instead:
   # KITTI odometry devkit's poses/ dir is ALREADY the expected format.
   python -m jperceiver_tpu.tools.make_splits gt_pose \
       --data /data/kitti/odometry/dataset/poses --out gt_pose/
+
+  # Cityscapes train/val/test lists (reference
+  # `splits/cityscape/gen_cityscape_split.py` — scans the
+  # leftImg8bit_sequence zip; a directory tree works too):
+  python -m jperceiver_tpu.tools.make_splits cityscape \
+      --data leftImg8bit_sequence_trainvaltest.zip --out splits/
+
+  # 108-frame single-drive demo list (reference
+  # `splits/kitti_shot_sequence/gen_split.py`):
+  python -m jperceiver_tpu.tools.make_splits shot_sequence \
+      --data unused --out splits/
 """
 
 from __future__ import annotations
@@ -38,7 +49,8 @@ def _write(path: str, lines: list[str]) -> None:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("kind", choices=["odometry", "object", "gt_pose"])
+    p.add_argument("kind", choices=["odometry", "object", "gt_pose",
+                                    "cityscape", "shot_sequence"])
     p.add_argument("--data", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--train_seqs", nargs="*",
@@ -59,6 +71,32 @@ def main(argv=None) -> None:
                lines[:-n_val] if n_val else lines)
         _write(os.path.join(args.out, "3Dobject", "val_files.txt"),
                lines[-n_val:] if n_val else [])
+    elif args.kind == "cityscape":
+        # reference: splits/cityscape/gen_cityscape_split.py — every png in
+        # the leftImg8bit_sequence archive, bucketed by train/val/test.
+        if args.data.endswith(".zip"):
+            import zipfile
+
+            names = sorted(zipfile.ZipFile(args.data).namelist())
+        else:
+            names = sorted(
+                os.path.join(r, f)[len(args.data):].lstrip("/")
+                for r, _, fs in os.walk(args.data) for f in fs)
+        buckets = {"train": [], "val": [], "test": []}
+        for n in names:
+            if "png" in n:
+                for k in buckets:
+                    if k in n:
+                        buckets[k].append(n)
+                        break
+        for k, lines in buckets.items():
+            _write(os.path.join(args.out, "cityscape", f"{k}.txt"), lines)
+    elif args.kind == "shot_sequence":
+        # reference: splits/kitti_shot_sequence/gen_split.py — a fixed
+        # 108-frame val list over raw drive 2011_09_26_0001.
+        _write(os.path.join(args.out, "kitti_shot_sequence", "val_files.txt"),
+               [f"2011_09_26/2011_09_26_drive_0001_sync {i:010d} l"
+                for i in range(108)])
     else:  # gt_pose: KITTI odometry poses/NN.txt are already the format
         os.makedirs(args.out, exist_ok=True)
         n = 0

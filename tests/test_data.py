@@ -245,3 +245,25 @@ def test_make_splits_cli(tmp_path):
     make_splits(["gt_pose", "--data", str(poses),
                  "--out", str(tmp_path / "gt_pose")])
     assert (tmp_path / "gt_pose/09.txt").exists()
+
+    # cityscape buckets (reference gen_cityscape_split.py semantics)
+    cs = tmp_path / "cs"
+    for part, city in (("train", "aachen"), ("val", "frankfurt"),
+                       ("test", "berlin")):
+        d = cs / "leftImg8bit_sequence" / part / city
+        d.mkdir(parents=True)
+        (d / f"{city}_000000_000000_leftImg8bit.png").write_bytes(b"x")
+    make_splits(["cityscape", "--data", str(cs),
+                 "--out", str(tmp_path / "splits")])
+    for part, city in (("train", "aachen"), ("val", "frankfurt"),
+                       ("test", "berlin")):
+        lines = (tmp_path / f"splits/cityscape/{part}.txt").read_text().splitlines()
+        assert len(lines) == 1 and city in lines[0]
+
+    # kitti_shot_sequence fixed demo list (reference gen_split.py)
+    make_splits(["shot_sequence", "--data", "unused",
+                 "--out", str(tmp_path / "splits")])
+    shot = (tmp_path / "splits/kitti_shot_sequence/val_files.txt"
+            ).read_text().splitlines()
+    assert len(shot) == 108
+    assert shot[0] == "2011_09_26/2011_09_26_drive_0001_sync 0000000000 l"
