@@ -73,3 +73,34 @@ def test_padded_tail_masked_out_of_meters():
     # wrap-around) would drag the mean: assert against that specific bias.
     leaked = np.mean([(2 + i) / 16 for i in list(range(7)) + [0, 0]])
     assert abs(summary["road_iou"] - leaked) > 1e-4
+
+
+def test_absent_branch_outputs_skipped():
+    """Under `skip_inactive_branch` a static-type model emits no
+    `topviewB`; the hook must still score the road branch and simply omit
+    vehicle meters (engine/eval_hook.py \"may be absent\" path)."""
+    ds = TinyDataset()
+    loader = DataLoader(ds, batch_size=3, shuffle=False, num_workers=1,
+                        drop_last=False)
+
+    hook = EvalHook.__new__(EvalHook)
+    hook.loader = loader
+    hook.cfg = {"type": "static", "skip_inactive_branch": True}
+    hook.with_depth = False
+    hook.with_layout = True
+    hook.max_batches = None
+
+    def stub_step(state, batch):
+        b, _, h, w, _ = batch["color"].shape
+        s = h // 2
+        topview = jnp.stack(
+            [jnp.zeros((b, s, s)), jnp.ones((b, s, s))], axis=-1)
+        return {"disp/0": jnp.full((b, s, s, 1), 0.5), "topview": topview}
+
+    hook.eval_step = stub_step
+    summary = hook(state=None, epoch=0)
+
+    assert summary["n_eval_samples"] == len(ds)
+    expected = np.mean([(2 + i) / 16 for i in range(7)])
+    np.testing.assert_allclose(summary["road_iou"], expected, rtol=1e-6)
+    assert "vehicle_iou" not in summary and "vehicle_map" not in summary
