@@ -1,0 +1,147 @@
+"""Round-3 second-wave measurement queue: whole-step flagship benches.
+
+Runs the knob variants built during the TPU-tunnel outage (DESIGN.md
+round-3 second wave) back to back in ONE process (one device claim), and
+appends one JSON line per variant to the output file as each completes —
+so a wedged tunnel mid-queue still leaves every finished number on disk.
+
+Run DETACHED to completion (never SIGTERM mid-claim — see the round-3
+wedge incident in DESIGN.md):
+    python benchmarks/queue_r3.py [--out FILE] [variant ...]
+
+With no variant args, runs the standard queue. Variant syntax is a
+comma-joined knob list, e.g. `fold_up,u8` (see KNOBS below).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# knob name -> cfg mutation
+KNOBS = {
+    "base": lambda cfg: None,
+    "fold_up": lambda cfg: setattr(cfg, "fold_upconv", True),
+    "u8": lambda cfg: setattr(cfg, "warp_tap_dtype", "uint8"),
+    "tapcat32": lambda cfg: setattr(cfg, "conv3x3_tapcat_max_ch", 32),
+    "tapcat64": lambda cfg: setattr(cfg, "conv3x3_tapcat_max_ch", 64),
+    "reproj": lambda cfg: setattr(cfg, "use_pallas_reproj", True),
+    "reproj_bf16": lambda cfg: (
+        setattr(cfg, "use_pallas_reproj", True),
+        setattr(cfg, "pallas_reproj_bf16", True),
+    ),
+    "grp16": lambda cfg: None,  # handled via sampling._GROUP_WIDTH below
+    "grp4": lambda cfg: None,
+}
+
+DEFAULT_QUEUE = [
+    "base",
+    "fold_up",
+    "u8",
+    "tapcat32",
+    "reproj",
+    "reproj_bf16",
+    "grp16",
+]
+
+
+def measure(variant: str, n_iters: int = 15, reps: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from jperceiver_tpu.config import Config
+    from jperceiver_tpu.data import synthetic_batch
+    from jperceiver_tpu.engine import build_optimizer, create_train_state, make_train_step
+    from jperceiver_tpu.models import JPerceiver
+    from jperceiver_tpu.ops import sampling as _sampling
+
+    h = w = 1024
+    occ = 256
+    cfg = Config.fromdict(
+        dict(
+            type="static", split="odometry", frame_ids=[0, -1, 1],
+            scales=[0, 1, 2, 3], height=h, width=w, occ_map_size=occ,
+            num_class=2, min_depth=0.1, max_depth=100.0, automask=True,
+            disp_norm=True, smoothness_weight=1e-3, scale_weight=0.1,
+            static_weight=5.0, dynamic_weight=15.0, loss_type="iou",
+            loss_sum=3, loss_weight=20, loss2_weight=20, loss_weightS=20,
+            loss2_weightS=20, cgt_label_hw=(375, 1242),
+            optimizer=dict(type="Adam", lr=1e-4, weight_decay=0),
+            optimizer_config=dict(grad_clip=dict(max_norm=35, norm_type=2)),
+            lr_config=dict(policy="step", warmup=None, step=[50]),
+        )
+    )
+    grp_prev = _sampling._GROUP_WIDTH
+    for knob in variant.split(","):
+        if knob.startswith("grp"):
+            _sampling._GROUP_WIDTH = int(knob[3:])
+        else:
+            KNOBS[knob](cfg)
+
+    try:
+        model = JPerceiver(height=h, width=w, occ_map_size=occ,
+                           dtype=jnp.bfloat16, branches="both")
+        batch = {k: jnp.asarray(v)
+                 for k, v in synthetic_batch(1, h, w, occ).items()}
+        tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
+        state = create_train_state(model, tx, batch, jax.random.key(0))
+        step = make_train_step(model, cfg)
+
+        rng = jax.random.key(1)
+        t_c = time.perf_counter()
+        state, metrics = step(state, batch, rng)
+        loss0 = float(metrics["loss"])  # honest sync: scalar fetch
+        compile_s = time.perf_counter() - t_c
+
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                state, metrics = step(state, batch, rng)
+            float(metrics["loss"])
+            best = min(best, (time.perf_counter() - t0) / n_iters)
+        return {
+            "variant": variant,
+            "step_ms": round(best * 1e3, 2),
+            "fps": round(1.0 / best, 3),
+            "compile_s": round(compile_s, 1),
+            "loss_finite": bool(loss0 == loss0),
+        }
+    finally:
+        _sampling._GROUP_WIDTH = grp_prev
+
+
+def main(argv) -> None:
+    out = "/tmp/queue_r3.jsonl"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    queue = argv or DEFAULT_QUEUE
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    for variant in queue:
+        try:
+            rec = measure(variant)
+        except Exception as e:  # keep the queue moving; record the failure
+            rec = {"variant": variant, "error": f"{type(e).__name__}: {e}"[:300]}
+        line = json.dumps(rec)
+        print(line, flush=True)
+        with open(out, "a") as f:
+            f.write(line + "\n")
+        gc.collect()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
