@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import gc
 import json
+import math
 import os
 import sys
 import time
@@ -35,8 +36,11 @@ KNOBS = {
         setattr(cfg, "use_pallas_reproj", True),
         setattr(cfg, "pallas_reproj_bf16", True),
     ),
+    "skipb": lambda cfg: setattr(cfg, "skip_inactive_branch", True),
+    "mu16": lambda cfg: cfg.optimizer.update(mu_dtype="bfloat16"),
     "grp16": lambda cfg: None,  # handled via sampling._GROUP_WIDTH below
     "grp4": lambda cfg: None,
+    # bN -> batch size, handled in measure()
 }
 
 DEFAULT_QUEUE = [
@@ -77,17 +81,20 @@ def measure(variant: str, n_iters: int = 15, reps: int = 3) -> dict:
         )
     )
     grp_prev = _sampling._GROUP_WIDTH
-    for knob in variant.split(","):
-        if knob.startswith("grp"):
-            _sampling._GROUP_WIDTH = int(knob[3:])
-        else:
-            KNOBS[knob](cfg)
-
     try:
+        bsz = 1
+        for knob in variant.split(","):
+            if knob.startswith("grp"):
+                _sampling._GROUP_WIDTH = int(knob[3:])
+            elif knob.startswith("b") and knob[1:].isdigit():
+                bsz = int(knob[1:])
+            else:
+                KNOBS[knob](cfg)
+
         model = JPerceiver(height=h, width=w, occ_map_size=occ,
                            dtype=jnp.bfloat16, branches="both")
         batch = {k: jnp.asarray(v)
-                 for k, v in synthetic_batch(1, h, w, occ).items()}
+                 for k, v in synthetic_batch(bsz, h, w, occ).items()}
         tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
         state = create_train_state(model, tx, batch, jax.random.key(0))
         step = make_train_step(model, cfg)
@@ -96,21 +103,23 @@ def measure(variant: str, n_iters: int = 15, reps: int = 3) -> dict:
         t_c = time.perf_counter()
         state, metrics = step(state, batch, rng)
         loss0 = float(metrics["loss"])  # honest sync: scalar fetch
-        compile_s = time.perf_counter() - t_c
+        first_step_s = time.perf_counter() - t_c  # compile + one exec
 
         best = float("inf")
+        loss_last = loss0
         for _ in range(reps):
             t0 = time.perf_counter()
             for _ in range(n_iters):
                 state, metrics = step(state, batch, rng)
-            float(metrics["loss"])
+            loss_last = float(metrics["loss"])
             best = min(best, (time.perf_counter() - t0) / n_iters)
         return {
             "variant": variant,
+            "batch": bsz,
             "step_ms": round(best * 1e3, 2),
-            "fps": round(1.0 / best, 3),
-            "compile_s": round(compile_s, 1),
-            "loss_finite": bool(loss0 == loss0),
+            "fps": round(bsz / best, 3),
+            "first_step_s": round(first_step_s, 1),
+            "loss_finite": bool(math.isfinite(loss0) and math.isfinite(loss_last)),
         }
     finally:
         _sampling._GROUP_WIDTH = grp_prev
@@ -120,6 +129,8 @@ def main(argv) -> None:
     out = "/tmp/queue_r3.jsonl"
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            sys.exit("usage: queue_r3.py [--out FILE] [variant ...]")
         out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     queue = argv or DEFAULT_QUEUE

@@ -105,7 +105,18 @@ def get_dataset(data_cfg, training: bool = True, with_sdf: bool = False,
             "data.split_dir must point at a splits directory "
             "(the packaged data/artifacts/splits is missing)"
         )
-    filenames = readlines(split_file(split_dir, data_cfg["split"], training))
+    sfile = split_file(split_dir, data_cfg["split"], training)
+    if not os.path.isfile(sfile):
+        have = sorted(
+            d for d in os.listdir(split_dir)
+            if os.path.isdir(os.path.join(split_dir, d))
+        ) if os.path.isdir(split_dir) else []
+        raise FileNotFoundError(
+            f"split '{data_cfg['split']}' has no "
+            f"{'train' if training else 'val'} list at {sfile}; "
+            f"available splits under {split_dir}: {have}"
+        )
+    filenames = readlines(sfile)
 
     if name == "cityscape":
         from .aux_datasets import CityscapesDataset
