@@ -131,17 +131,21 @@ def _min_rl(preds, targ, lo_h, n_h, lo_w, n_w):
 
 
 def _fwd_kernel(p_ref, t_ref, o_ref):
-    # p (1, 1, F, C, rows+4, Wp), t (1, C, rows+4, Wp), o (1, 1, rows, W)
+    # p (1, 1, F, C, rows+8, Wp), t (1, C, rows+8, Wp), o (1, 1, rows, W).
+    # Blocks carry an 8-row halo (TPU wants 8-divisible sublane block
+    # dims); only the first rows+4 rows are live, the rest are dead pad.
     rows, w = o_ref.shape[2], o_ref.shape[3]
     o_ref[0, 0] = _min_rl(p_ref[0, 0], t_ref[0], 1, rows, 1, w)
 
 
 def _bwd_kernel(p_ref, t_ref, cz_ref, o_ref):
-    # cz (1, 1, rows+2, W+2): cotangent incl. a 1-stat halo (zero at the
-    # image border); o (1, 1, F, C, rows, W): interior pred gradients.
+    # cz (1, 1, rows+8, W+2): cotangent incl. a 1-stat halo (zero at the
+    # image border; rows beyond rows+2 are dead pad for the TPU's
+    # 8-divisible sublane block constraint); o (1, 1, F, C, rows, W):
+    # interior pred gradients.
     rows, w = o_ref.shape[4], o_ref.shape[5]
     targ = t_ref[0]
-    cot = cz_ref[0, 0]
+    cot = cz_ref[0, 0, :rows + 2]
 
     def fn(pred_block):
         rl = _min_rl(pred_block, targ, 0, rows + 2, 0, w + 2)
@@ -359,22 +363,38 @@ def _block_rows_for(h, block_rows):
     rows = min(block_rows, h)
     while h % rows:
         rows //= 2
-    return max(rows, 1)
+    rows = max(rows, 1)
+    if not _interpret() and rows < h:
+        # TPU blocks carry a (rows+8)-row halo and the sublane block dim
+        # must be 8-divisible — keep rows a multiple of 8 (or whole-h).
+        while rows > 1 and (rows % 8 or h % rows):
+            rows //= 2
+        if rows % 8:
+            rows = h
+    return rows
+
+
+def _halo_pad(x, extra):
+    """`extra` dead zero rows at the bottom of the padded row axis, so
+    each grid block can read a fixed 8-divisible row extent."""
+    pads = [(0, 0)] * x.ndim
+    pads[x.ndim - 2] = (0, extra)
+    return jnp.pad(x, pads)
 
 
 def _fwd(preds, targ, block_rows):
     s, b, f, c, h, w = preds.shape
     rows = _block_rows_for(h, block_rows)
-    pp = _pad_rz(preds)
-    tp_ = _pad_rz(targ)
+    pp = _halo_pad(_pad_rz(preds), 4)     # rows axis: h+8
+    tp_ = _halo_pad(_pad_rz(targ), 4)
     wp = w + 4
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(s, b, h // rows),
         in_specs=[
-            pl.BlockSpec((1, 1, f, c, pl.Element(rows + 4), wp),
+            pl.BlockSpec((1, 1, f, c, pl.Element(rows + 8), wp),
                          lambda si, bi, ri: (si, bi, 0, 0, ri * rows, 0)),
-            pl.BlockSpec((1, c, pl.Element(rows + 4), wp),
+            pl.BlockSpec((1, c, pl.Element(rows + 8), wp),
                          lambda si, bi, ri: (bi, 0, ri * rows, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, rows, w),
@@ -395,22 +415,25 @@ def _bwd_core(preds, targ, cot, block_rows):
     # Smaller backward blocks: the grad-of-closure kernel holds the
     # block's forward residuals in VMEM (~16 MB/core on v5e).
     rows = _block_rows_for(h, min(block_rows, 16))
-    pp = _pad_rz(preds)
-    tp_ = _pad_rz(targ)
+    pp0 = _pad_rz(preds)                  # rows axis: h+4 (ring fixups)
+    tp0 = _pad_rz(targ)
+    pp = _halo_pad(pp0, 4)                # rows axis: h+8 (kernel blocks)
+    tp_ = _halo_pad(tp0, 4)
     wp = w + 4
     cot = cot.astype(jnp.float32)
-    # Zero-embedded cotangent with a 1-stat halo ring.
-    cz = jnp.zeros((s, b, h + 2, w + 2), jnp.float32)
-    cz = cz.at[:, :, 1:-1, 1:-1].set(cot)
+    # Zero-embedded cotangent with a 1-stat halo ring (+6 dead pad rows so
+    # cz blocks read a fixed rows+8 extent).
+    cz = jnp.zeros((s, b, h + 8, w + 2), jnp.float32)
+    cz = cz.at[:, :, 1:h + 1, 1:-1].set(cot)
     dint = pl.pallas_call(
         _bwd_kernel,
         grid=(s, b, h // rows),
         in_specs=[
-            pl.BlockSpec((1, 1, f, c, pl.Element(rows + 4), wp),
+            pl.BlockSpec((1, 1, f, c, pl.Element(rows + 8), wp),
                          lambda si, bi, ri: (si, bi, 0, 0, ri * rows, 0)),
-            pl.BlockSpec((1, c, pl.Element(rows + 4), wp),
+            pl.BlockSpec((1, c, pl.Element(rows + 8), wp),
                          lambda si, bi, ri: (bi, 0, ri * rows, 0)),
-            pl.BlockSpec((1, 1, pl.Element(rows + 2), w + 2),
+            pl.BlockSpec((1, 1, pl.Element(rows + 8), w + 2),
                          lambda si, bi, ri: (si, bi, ri * rows, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, f, c, rows, w),
@@ -418,7 +441,7 @@ def _bwd_core(preds, targ, cot, block_rows):
         out_shape=jax.ShapeDtypeStruct((s, b, f, c, h, w), jnp.float32),
         interpret=_interpret(),
     )(pp, tp_, cz)
-    for kind, where, val in _ring_fixups(pp, tp_, cot):
+    for kind, where, val in _ring_fixups(pp0, tp0, cot):
         if kind == "row":
             dint = dint.at[:, :, :, :, where, :].add(val)
         elif kind == "col":
