@@ -170,6 +170,17 @@ def main() -> None:
     dt = best
     fps = batch_size / dt
 
+    # Achievable-ceiling estimate for this chip (benchmarks/ceiling.py:
+    # per-shape measured dot throughput + gather-rate rooflines applied to
+    # the step's exact HLO work inventory). Absent until the analysis ran.
+    ceiling_fps = None
+    try:
+        with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                "benchmarks", "ceiling.json")) as cf:
+            ceiling_fps = json.load(cf).get("ceiling_fps_measured_classes")
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -188,6 +199,9 @@ def main() -> None:
                 "tflops_per_frame": round(step_flops / batch_size / 1e12, 3),
                 "mfu_vs_measured_roofline": round(
                     step_flops / dt / (MEASURED_ROOFLINE_TFLOPS * 1e12), 4),
+                # Perfect-scheduling ceiling on THIS chip for this step's
+                # exact work (benchmarks/ceiling.py); None until measured.
+                "ceiling_fps": ceiling_fps,
             }
         )
     )

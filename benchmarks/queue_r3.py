@@ -91,8 +91,13 @@ def measure(variant: str, n_iters: int = 15, reps: int = 3) -> dict:
             else:
                 KNOBS[knob](cfg)
 
+        # Branch selection must honor the skipb knob: hardcoding "both"
+        # made the round-4 skipb variant measure the IDENTICAL graph as
+        # base (caught via a 28% "delta" that was pure cross-process
+        # measurement noise).
         model = JPerceiver(height=h, width=w, occ_map_size=occ,
-                           dtype=jnp.bfloat16, branches="both")
+                           dtype=jnp.bfloat16,
+                           branches=JPerceiver._branches_from_cfg(cfg))
         batch = {k: jnp.asarray(v)
                  for k, v in synthetic_batch(bsz, h, w, occ).items()}
         tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
@@ -125,7 +130,30 @@ def measure(variant: str, n_iters: int = 15, reps: int = 3) -> dict:
         _sampling._GROUP_WIDTH = grp_prev
 
 
+LOCK_PATH = "/tmp/jperceiver_tpu_bench.lock"
+
+
+def acquire_bench_lock() -> None:
+    """Refuse to run two TPU benches at once: interleaved device claims
+    silently corrupt each other's timing loops (round 4: an identical-graph
+    variant 'measured' 28% slower than base while a second process ran)."""
+    if os.path.exists(LOCK_PATH):
+        try:
+            pid = int(open(LOCK_PATH).read().strip())
+            os.kill(pid, 0)  # raises if dead
+            sys.exit(f"another bench (pid {pid}) holds {LOCK_PATH}; "
+                     "refusing to corrupt its timings")
+        except (ValueError, ProcessLookupError, PermissionError):
+            os.unlink(LOCK_PATH)  # stale
+    with open(LOCK_PATH, "w") as f:
+        f.write(str(os.getpid()))
+    import atexit
+
+    atexit.register(lambda: os.path.exists(LOCK_PATH) and os.unlink(LOCK_PATH))
+
+
 def main(argv) -> None:
+    acquire_bench_lock()
     out = "/tmp/queue_r3.jsonl"
     if "--out" in argv:
         i = argv.index("--out")

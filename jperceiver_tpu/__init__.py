@@ -13,3 +13,20 @@ Re-implements the capabilities of JPerceiver (ECCV 2022, reference repo
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a site-level sitecustomize.py imported jax
+# and pinned the platform before user code ran (the axon TPU image does
+# this): `JAX_PLATFORMS=cpu python -m jperceiver_tpu.tools.train ...` must
+# actually run on CPU, not silently grab the TPU out from under another
+# process's device claim.
+import os as _os
+
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+del _os, _plat

@@ -15,9 +15,34 @@ from __future__ import annotations
 import numpy as np
 
 CAMERA_HEIGHT = 1.73  # must match the CGT constant for split='odometry'
+ARGO_CAMERA_HEIGHT = 0.33  # the CGT constant for split='argo' (`net.py:257-260`)
 WALL_Z = 38.0
 STEP_M = 1.0  # per-frame forward motion (enough parallax to avoid the
 # automask identity-collapse on low-motion scenes)
+
+VEHICLE_COLOR = np.array([0.85, 0.12, 0.10], np.float32)
+
+
+def _scene_vehicles(rng, n: int = 3, cam_height: float = CAMERA_HEIGHT):
+    """n world-space vehicle footprints (x0, x1, z0, z1) on the ground.
+
+    Painted flat on the ground plane: the vehicle base sits AT ground
+    height, which is exactly the assumption the reference's dynamic CGT
+    label makes when it warps the vehicle BEV GT through the ground-plane
+    homography (`net.py:380-476`) — so the rendered geometry stays
+    consistent with the scale supervision. A low camera (Argoverse's
+    0.33 m) compresses distant ground into a few image rows, so the
+    placement range shrinks with camera height to keep footprints visible.
+    """
+    z_far = 8.0 + 24.0 * min(1.0, cam_height / CAMERA_HEIGHT)
+    rects = []
+    for _ in range(n):
+        cz = rng.uniform(4.0, z_far)
+        cx = rng.uniform(-0.45, 0.45) * cz  # keep inside the view frustum
+        half_w = rng.uniform(0.9, 1.2)
+        half_l = rng.uniform(1.8, 2.4)
+        rects.append((cx - half_w, cx + half_w, cz - half_l, cz + half_l))
+    return rects
 
 
 def _texture(rng, size=512, octaves=3):
@@ -66,11 +91,14 @@ def _sample_tex(tex, u, v, scale=6.0):
 
 
 def render_frame(tex_ground, tex_wall, K3, height, width, cam_z,
-                 wall_z: float | None = None):
+                 wall_z: float | None = None,
+                 cam_height: float = CAMERA_HEIGHT,
+                 vehicles=()):
     """Render the scene from camera position (0, 0, cam_z); returns
     (image (H,W,3), gt_depth (H,W)). `wall_z` overrides the far-wall
     position (long odometry sequences park it beyond the drive length so
-    the camera never reaches it)."""
+    the camera never reaches it). `vehicles` is a list of world-space
+    footprint rects (x0, x1, z0, z1) painted onto the ground plane."""
     fx, fy = K3[0, 0], K3[1, 1]
     cx, cy = K3[0, 2], K3[1, 2]
     us, vs = np.meshgrid(np.arange(width), np.arange(height))
@@ -80,9 +108,9 @@ def render_frame(tex_ground, tex_wall, K3, height, width, cam_z,
     if wall_z is None:
         wall_z = WALL_Z
     wall_depth = wall_z - cam_z  # the wall is at world z, so it parallaxes
-    eps = CAMERA_HEIGHT / wall_depth
+    eps = cam_height / wall_depth
     ground = vp > eps
-    depth = np.where(ground, CAMERA_HEIGHT / np.maximum(vp, 1e-6), wall_depth)
+    depth = np.where(ground, cam_height / np.maximum(vp, 1e-6), wall_depth)
 
     x_w = up * depth
     z_w = cam_z + depth
@@ -91,6 +119,11 @@ def render_frame(tex_ground, tex_wall, K3, height, width, cam_z,
     img_ground = _sample_tex(tex_ground, x_w, z_w)
     img_wall = _sample_tex(tex_wall, x_w, y_wall, scale=3.0)
     img = np.where(ground[..., None], img_ground, img_wall)
+    for x0, x1, z0, z1 in vehicles:
+        # World-anchored (x_w/z_w), so the paint is photometrically
+        # consistent across the 3 frames of a scene.
+        m = ground & (x_w >= x0) & (x_w <= x1) & (z_w >= z0) & (z_w <= z1)
+        img = np.where(m[..., None], 0.3 * img + 0.7 * VEHICLE_COLOR, img)
     return img.astype(np.float32), depth.astype(np.float32)
 
 
@@ -109,16 +142,28 @@ def scene_calib(height: int, width: int):
     return K, inv_K, Tr
 
 
-def render_scene(scene_seed: int, height=256, width=256):
+def render_scene(scene_seed: int, height=256, width=256,
+                 model_type: str = "static", split: str = "odometry"):
     """One consistent 3-frame scene + analytic GT (no batch dim).
 
     Returns (sample, gt): sample has the training-batch key schema
     (per-sample shapes), gt = {"depth": (H,W), "T_fwd": (4,4)}.
     The intrinsics ARE the render intrinsics (unlike KITTI's normalized-K
     convention) so the photometric geometry is exact.
+
+    `model_type` in {dynamic, Argo_dynamic, Argo_both} adds painted
+    vehicle footprints (and a matching `bev_dynamic` label); `split`
+    selects the camera height the CGT label synthesis assumes (1.73 m
+    KITTI / 0.33 m Argoverse, `net.py:257-260`).
     """
     occ = height // 4
     K, inv_K, Tr = scene_calib(height, width)
+    cam_height = ARGO_CAMERA_HEIGHT if split == "argo" else CAMERA_HEIGHT
+    vehicles = (
+        _scene_vehicles(np.random.default_rng(scene_seed + 77),
+                        cam_height=cam_height)
+        if model_type in ("dynamic", "Argo_dynamic", "Argo_both") else ()
+    )
 
     tex_g = _texture(np.random.default_rng(scene_seed))
     tex_w = _texture(np.random.default_rng(scene_seed + 31))
@@ -126,7 +171,8 @@ def render_scene(scene_seed: int, height=256, width=256):
     gt_depth = np.zeros((height, width), np.float32)
     for i, f in enumerate((0, -1, 1)):
         img, depth = render_frame(tex_g, tex_w, K, height, width,
-                                  cam_z=f * STEP_M)
+                                  cam_z=f * STEP_M, cam_height=cam_height,
+                                  vehicles=vehicles)
         color[i] = img
         if f == 0:
             gt_depth = depth
@@ -145,6 +191,15 @@ def render_scene(scene_seed: int, height=256, width=256):
     bev = np.broadcast_to(
         (row_depth <= WALL_Z).astype(np.float32)[:, None], (occ, occ)
     ).copy()
+    # Vehicle footprints rasterized in the same BEV convention (row 0 =
+    # far, 40 m window; col c <-> lateral x = (c - occ/2) * 40/occ).
+    veh_bev = np.zeros((occ, occ), np.float32)
+    for x0, x1, z0, z1 in vehicles:
+        r0 = int(np.clip(np.floor(occ - z1 * occ / 40.0), 0, occ))
+        r1 = int(np.clip(np.ceil(occ - z0 * occ / 40.0), 0, occ))
+        c0 = int(np.clip(np.floor(x0 * occ / 40.0 + occ / 2), 0, occ))
+        c1 = int(np.clip(np.ceil(x1 * occ / 40.0 + occ / 2), 0, occ))
+        veh_bev[r0:r1, c0:c1] = 1.0
     from ..ops.sdf import signed_distance_field
 
     sample = {
@@ -155,11 +210,14 @@ def render_scene(scene_seed: int, height=256, width=256):
         "odometry_K": K.copy(),
         "Tr_cam2_velo": Tr,
         "bev_static": bev,
-        "bev_dynamic": np.zeros_like(bev),
-        "bev_both": bev.copy(),
+        "bev_dynamic": veh_bev,
+        "bev_both": bev.copy(),  # vehicles sit on the road: union == road
         "bev_static_sdf": signed_distance_field(
             bev[None].astype(np.int32), 2)[0].astype(np.float32),
-        "bev_dynamic_sdf": np.zeros((occ, occ, 1), np.float32),
+        "bev_dynamic_sdf": (
+            signed_distance_field(
+                veh_bev[None].astype(np.int32), 2)[0].astype(np.float32)
+            if vehicles else np.zeros((occ, occ, 1), np.float32)),
     }
     return sample, {"depth": gt_depth, "T_fwd": T_fwd}
 
@@ -186,11 +244,14 @@ class SimulatedDataset:
 
     def __init__(self, n_scenes: int = 64, height: int = 256,
                  width: int = 256, seed: int = 0, with_gt: bool = False,
-                 cache: bool = True):
+                 cache: bool = True, model_type: str = "static",
+                 split: str = "odometry"):
         self.n_scenes = int(n_scenes)
         self.height, self.width = height, width
         self.seed = seed
         self.with_gt = with_gt
+        self.model_type = model_type
+        self.split = split
         self._cache: dict[int, dict] | None = {} if cache else None
 
     def __len__(self) -> int:
@@ -204,7 +265,9 @@ class SimulatedDataset:
             # corrupt the cache for later epochs (arrays stay shared).
             return dict(self._cache[i])
         sample, gt = render_scene(self.seed * 100003 + i,
-                                  self.height, self.width)
+                                  self.height, self.width,
+                                  model_type=self.model_type,
+                                  split=self.split)
         if self.with_gt:
             sample = dict(sample, gt_depth=gt["depth"])
         if self._cache is not None:

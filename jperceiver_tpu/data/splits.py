@@ -35,8 +35,17 @@ def readlines(path: str) -> list[str]:
 
 
 def split_file(split_dir: str, split: str, training: bool) -> str:
-    name = "train_files.txt" if training else "val_files.txt"
-    return os.path.join(split_dir, split, name)
+    if training:
+        return os.path.join(split_dir, split, "train_files.txt")
+    # Eval: benchmark-style splits (eigen_benchmark, test) ship only
+    # test_files.txt — the reference's offline eval scripts read those
+    # directly (`splits/eigen_benchmark/test_files.txt`); fall back to it
+    # when the split has no val list.
+    val = os.path.join(split_dir, split, "val_files.txt")
+    if os.path.isfile(val):
+        return val
+    test = os.path.join(split_dir, split, "test_files.txt")
+    return test if os.path.isfile(test) else val
 
 
 def scan_odometry_split(data_path: str, sequences: Sequence[str]) -> list[str]:
@@ -81,6 +90,8 @@ def get_dataset(data_cfg, training: bool = True, with_sdf: bool = False,
             height=data_cfg["height"], width=data_cfg["width"],
             seed=data_cfg.get("seed", 0 if training else 7),
             with_gt=data_cfg.get("with_gt", not training),
+            model_type=dtype,
+            split=data_cfg.get("split", "odometry"),
         )
 
     if name in ("euroc", "eth3d", "folder"):

@@ -10,4 +10,4 @@ from .checkpoint import (
     load_torch_resnet_file,
 )
 from .logger import JsonLogger, get_root_logger
-from .env import set_random_seed, device_summary
+from .env import set_random_seed, device_summary, enable_compile_cache

@@ -200,6 +200,14 @@ class Trainer:
         On a device/runtime failure (e.g. "TPU worker process crashed"),
         restores the latest checkpoint from `work_dir` and resumes from
         that epoch, up to `max_restarts` times.
+
+        Catches the whole infrastructure-failure family — RuntimeError
+        (JaxRuntimeError/XlaRuntimeError subclass it, and a killed TPU
+        worker surfaces as a plain RuntimeError from the runtime layer)
+        and OSError (gRPC/socket failures from a dead peer or coordinator)
+        — but deliberately NOT programming errors (TypeError, ValueError,
+        KeyError): restarting those would loop max_restarts times and then
+        re-raise anyway, burning checkpoint restores on a determinate bug.
         """
         from .checkpoint import restore_checkpoint
 
@@ -208,7 +216,7 @@ class Trainer:
             try:
                 return self.fit(state, total_epochs, rng=rng,
                                 start_epoch=start_epoch)
-            except jax.errors.JaxRuntimeError as e:
+            except (RuntimeError, OSError) as e:
                 restarts += 1
                 if restarts > max_restarts:
                     raise

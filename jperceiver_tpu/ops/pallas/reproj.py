@@ -392,9 +392,15 @@ def _fwd(preds, targ, block_rows):
         _fwd_kernel,
         grid=(s, b, h // rows),
         in_specs=[
-            pl.BlockSpec((1, 1, f, c, pl.Element(rows + 8), wp),
+            # ALL dims Element: Mosaic rejects mixed Element/blocked specs
+            # ("all block dimensions must be Elements or none"). Size-1 and
+            # full-extent dims have identical offset semantics either way.
+            pl.BlockSpec((pl.Element(1), pl.Element(1), pl.Element(f),
+                          pl.Element(c), pl.Element(rows + 8),
+                          pl.Element(wp)),
                          lambda si, bi, ri: (si, bi, 0, 0, ri * rows, 0)),
-            pl.BlockSpec((1, c, pl.Element(rows + 8), wp),
+            pl.BlockSpec((pl.Element(1), pl.Element(c),
+                          pl.Element(rows + 8), pl.Element(wp)),
                          lambda si, bi, ri: (bi, 0, ri * rows, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, rows, w),
@@ -429,11 +435,16 @@ def _bwd_core(preds, targ, cot, block_rows):
         _bwd_kernel,
         grid=(s, b, h // rows),
         in_specs=[
-            pl.BlockSpec((1, 1, f, c, pl.Element(rows + 8), wp),
+            # All-Element specs (see _fwd).
+            pl.BlockSpec((pl.Element(1), pl.Element(1), pl.Element(f),
+                          pl.Element(c), pl.Element(rows + 8),
+                          pl.Element(wp)),
                          lambda si, bi, ri: (si, bi, 0, 0, ri * rows, 0)),
-            pl.BlockSpec((1, c, pl.Element(rows + 8), wp),
+            pl.BlockSpec((pl.Element(1), pl.Element(c),
+                          pl.Element(rows + 8), pl.Element(wp)),
                          lambda si, bi, ri: (bi, 0, ri * rows, 0)),
-            pl.BlockSpec((1, 1, pl.Element(rows + 8), w + 2),
+            pl.BlockSpec((pl.Element(1), pl.Element(1),
+                          pl.Element(rows + 8), pl.Element(w + 2)),
                          lambda si, bi, ri: (si, bi, ri * rows, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, f, c, rows, w),

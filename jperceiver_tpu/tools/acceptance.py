@@ -34,8 +34,8 @@ FRAME_IDS = [0, -1, 1]
 
 data = dict(
     name="simulated",
-    type="static",
-    split="odometry",
+    type={mtype!r},
+    split={split!r},
     height=HEIGHT,
     width=WIDTH,
     frame_ids=FRAME_IDS,
@@ -62,8 +62,8 @@ model = dict(
     dynamic_weight=15.0,
     occ_map_size=HEIGHT // 4,
     num_class=2,
-    type="static",
-    split="odometry",
+    type={mtype!r},
+    split={split!r},
     loss_type="iou",
     loss_sum=3,
     loss_weight=20,
@@ -88,12 +88,14 @@ log_config = dict(interval=10)
 
 
 def render_odometry_sequence(seq_root: str, seq: str, gt_dir: str,
-                             height: int, n_frames: int) -> None:
+                             height: int, n_frames: int,
+                             split: str = "odometry") -> None:
     """Drive the simulated camera n_frames meters forward; save PNGs in
     the KITTI odometry layout + GT poses (cam-to-world, 3x4 rows)."""
     from PIL import Image
 
-    from ..data.simulated import STEP_M, _texture, render_frame, scene_calib
+    from ..data.simulated import (ARGO_CAMERA_HEIGHT, CAMERA_HEIGHT, STEP_M,
+                                  _texture, render_frame, scene_calib)
     from ..evaluation.trajectory import save_kitti_poses
 
     img_dir = os.path.join(seq_root, seq, "image_2")
@@ -104,11 +106,12 @@ def render_odometry_sequence(seq_root: str, seq: str, gt_dir: str,
     tex_g = _texture(np.random.default_rng(12345))
     tex_w = _texture(np.random.default_rng(12345 + 31))
     wall_z = n_frames * STEP_M + 60.0
+    cam_h = ARGO_CAMERA_HEIGHT if split == "argo" else CAMERA_HEIGHT
     poses = []
     for i in range(n_frames):
         z = i * STEP_M
         img, _ = render_frame(tex_g, tex_w, K, height, height, cam_z=z,
-                              wall_z=wall_z)
+                              wall_z=wall_z, cam_height=cam_h)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(img_dir, f"{i:06d}.png"))
         T = np.eye(4, dtype=np.float64)
@@ -120,6 +123,12 @@ def render_odometry_sequence(seq_root: str, seq: str, gt_dir: str,
 def main(argv=None):
     p = argparse.ArgumentParser(description="End-to-end acceptance run")
     p.add_argument("--work_dir", required=True)
+    p.add_argument("--type", dest="mtype", default="static",
+                   choices=["static", "dynamic", "Argo_both"],
+                   help="model/data type: road branch (static), vehicle "
+                        "branch + dynamic CGT (dynamic), or dual-branch "
+                        "Argoverse semantics with the both-kind CGT and "
+                        "0.33 m camera height (Argo_both)")
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--n_scenes", type=int, default=64)
     p.add_argument("--imgs_per_gpu", type=int, default=2)
@@ -133,14 +142,16 @@ def main(argv=None):
     os.makedirs(wd, exist_ok=True)
     seq_root = os.path.join(wd, "seq")
     cfg_path = os.path.join(wd, "sim_acceptance.py")
+    split = "argo" if args.mtype.startswith("Argo") else "odometry"
     with open(cfg_path, "w") as f:
         f.write(CFG_TEMPLATE.format(
             height=args.height, n_scenes=args.n_scenes,
             imgs_per_gpu=args.imgs_per_gpu, epochs=args.epochs,
             lr_step=max(1, args.epochs * 3 // 4), seq_root=seq_root,
+            mtype=args.mtype, split=split,
             cgt_hw=(375, 1242) if args.height >= 256 else (94, 310)))
 
-    results: dict = {"config": cfg_path}
+    results: dict = {"config": cfg_path, "type": args.mtype}
 
     # -- stage 1: train through the real CLI -------------------------------
     if not args.skip_train:
@@ -179,7 +190,7 @@ def main(argv=None):
     seq = "21"
     gt_dir = os.path.join(wd, "gt_pose")
     render_odometry_sequence(seq_root, seq, gt_dir, args.height,
-                             args.odom_frames)
+                             args.odom_frames, split=split)
     from . import draw_odometry as draw_cli
 
     odom = draw_cli.main([

@@ -35,11 +35,14 @@ def main(argv=None):
     from ..config import Config
     from ..data.kitti import pil_open_rgb
     from ..data.transforms import resize_image, to_array
-    from ..engine import build_optimizer, create_train_state
+    from ..engine import (build_optimizer, create_train_state,
+                          enable_compile_cache)
     from ..engine.checkpoint import load_weights
     from ..evaluation.kitti_odometry import KittiOdomEval
     from ..evaluation.trajectory import save_kitti_poses
     from ..models import build_model
+
+    enable_compile_cache()
 
     cfg = Config.fromfile(args.config)
     model = build_model(cfg.model)

@@ -28,10 +28,13 @@ def main(argv=None):
 
     from ..config import Config
     from ..data import DataLoader, get_dataset
-    from ..engine import build_optimizer, create_train_state, make_eval_step
+    from ..engine import (build_optimizer, create_train_state,
+                          enable_compile_cache, make_eval_step)
     from ..engine.checkpoint import load_weights
     from ..engine.eval_hook import depth_metrics_single
     from ..models import build_model
+
+    enable_compile_cache()
 
     cfg = Config.fromfile(args.config)
     model_cfg = cfg.model

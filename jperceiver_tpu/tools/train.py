@@ -47,7 +47,10 @@ def main(argv=None):
 
     from ..config import Config
     from ..data import DataLoader, get_dataset
-    from ..engine import build_optimizer, create_train_state, Trainer
+    from ..engine import (Trainer, build_optimizer, create_train_state,
+                          enable_compile_cache)
+
+    enable_compile_cache()
     from ..engine.checkpoint import restore_checkpoint, save_checkpoint, load_weights
     from ..engine.eval_hook import EvalHook
     from ..engine.logger import JsonLogger, get_root_logger

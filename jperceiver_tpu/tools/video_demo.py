@@ -57,9 +57,12 @@ def main(argv=None):
     from ..data import synthetic_batch
     from ..data.kitti import pil_open_rgb
     from ..data.transforms import resize_image, to_array
-    from ..engine import build_optimizer, create_train_state
+    from ..engine import (build_optimizer, create_train_state,
+                          enable_compile_cache)
     from ..engine.checkpoint import load_weights
     from ..models import build_model
+
+    enable_compile_cache()
 
     cfg = Config.fromfile(args.config)
     model = build_model(cfg.model)
