@@ -30,7 +30,11 @@ Round-2 result: 8.21 f/s/chip (1.03x the baseline estimate), up from 4.13
 at the end of round 1. Round 3: the nine-shifted-matmul conv lowering
 (`ops/conv9dot.py`, AUTO default on TPU) lifts the flagship step to 8.73
 f/s; `--no-dots` restores XLA's conv lowering, `--dots-cap N` keeps XLA
-convs above C_in=N.
+convs above C_in=N. Round 4: fold_upconv (nearest-up2 fused into the
+consuming 3x3 convs) and uint8 warp taps landed as TPU AUTO defaults —
+10.65 f/s measured combined vs 9.38 base (benchmarks/results/
+queue_r4.jsonl); `--no-fold-upconv` / `--bf16-taps` / `--f32-taps`
+restore the old paths for A/B.
 """
 
 from __future__ import annotations
@@ -82,8 +86,16 @@ def main() -> None:
     dots_cap = int_flag("--dots-cap")
     # all-taps ONE-matmul form for convs with C_in<=cap
     tapcat_cap = int_flag("--tapcat-cap")
-    tap_u8 = "--u8-taps" in sys.argv  # uint8 photometric gather taps
-    fold_up = "--fold-upconv" in sys.argv  # fuse nearest-up2 into convs
+    # Warp-tap dtype: default AUTO = uint8 on TPU (landed round 4; lossless
+    # for 8-bit sources, halves gather bytes vs bf16). Flags force a dtype.
+    tap_u8 = "--u8-taps" in sys.argv
+    tap_bf16 = "--bf16-taps" in sys.argv
+    tap_f32 = "--f32-taps" in sys.argv
+    # Fold nearest-up2 into convs: default AUTO = on for TPU (landed
+    # round 4: 10.65 f/s with u8 taps vs 9.38 base). --no-fold-upconv
+    # restores the materialized upsample for A/B.
+    fold_up = "--fold-upconv" in sys.argv
+    no_fold_up = "--no-fold-upconv" in sys.argv
     preproj = "--pallas-reproj" in sys.argv  # fused reprojection kernel
     preproj_bf16 = "--reproj-bf16" in sys.argv  # bf16 kernel operands
     gather_grp = int_flag("--gather-grp")  # x-positions per gather row
@@ -91,10 +103,12 @@ def main() -> None:
         from jperceiver_tpu.ops import sampling as _sampling
 
         _sampling._GROUP_WIDTH = gather_grp
-    # Skip the inactive BEV branch's forward (config-gated knob; the
-    # reference computes both branches even for single-branch configs, so
-    # the DEFAULT keeps parity and this flag measures the saving).
-    skip_branch = "--skip-branch" in sys.argv
+    # Round-4 default flip: single-branch configs skip the inactive BEV
+    # branch's forward (measured 10.80 vs 10.66 f/s; no loss terms, no
+    # grads, only never-read BN stats differ — models/jperceiver.py::
+    # _branches_from_cfg). --both-branches restores the reference's
+    # artifact of computing both.
+    both_branches = "--both-branches" in sys.argv
     h = w = 256 if quick else 1024
     occ = h // 4
     # B=1 is the single-chip sweet spot at 1024^2 on 16 GB HBM: B>=2 spills
@@ -127,20 +141,26 @@ def main() -> None:
         cfg.conv3x3_tapcat_max_ch = tapcat_cap
     if tap_u8:
         cfg.warp_tap_dtype = "uint8"
+    elif tap_bf16:
+        cfg.warp_tap_dtype = "bfloat16"
+    elif tap_f32:
+        cfg.warp_tap_dtype = "float32"
     if fold_up:
         cfg.fold_upconv = True
+    elif no_fold_up:
+        cfg.fold_upconv = False
     if preproj:
         cfg.use_pallas_reproj = True
     if preproj_bf16:
         cfg.use_pallas_reproj = True
         cfg.pallas_reproj_bf16 = True
-    if skip_branch:
-        cfg.skip_inactive_branch = True
+    if both_branches:
+        cfg.skip_inactive_branch = False
     if "--no-const-vjp" in sys.argv:  # plain-autodiff photometric warp
         cfg.warp_const_vjp = False
     model = JPerceiver(height=h, width=w, occ_map_size=occ,
                        dtype=_jnp.bfloat16,
-                       branches="road" if skip_branch else "both")
+                       branches=JPerceiver._branches_from_cfg(cfg))
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(batch_size, h, w, occ).items()}
     tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
     state = create_train_state(model, tx, batch, jax.random.key(0))

@@ -28,6 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 KNOBS = {
     "base": lambda cfg: None,
     "fold_up": lambda cfg: setattr(cfg, "fold_upconv", True),
+    # Post-landing (round 4): fold_upconv and u8 taps are TPU AUTO
+    # defaults; these knobs turn them OFF for A/B against the new base.
+    "no_fold": lambda cfg: setattr(cfg, "fold_upconv", False),
+    "bf16taps": lambda cfg: setattr(cfg, "warp_tap_dtype", "bfloat16"),
+    "f32taps": lambda cfg: setattr(cfg, "warp_tap_dtype", "float32"),
     "u8": lambda cfg: setattr(cfg, "warp_tap_dtype", "uint8"),
     "tapcat32": lambda cfg: setattr(cfg, "conv3x3_tapcat_max_ch", 32),
     "tapcat64": lambda cfg: setattr(cfg, "conv3x3_tapcat_max_ch", 64),
@@ -37,6 +42,9 @@ KNOBS = {
         setattr(cfg, "pallas_reproj_bf16", True),
     ),
     "skipb": lambda cfg: setattr(cfg, "skip_inactive_branch", True),
+    # Round-4 default flip: single-branch types now skip the inactive
+    # branch by default, so "skipb" is a no-op and "bothb" is the A/B.
+    "bothb": lambda cfg: setattr(cfg, "skip_inactive_branch", False),
     "mu16": lambda cfg: cfg.optimizer.update(mu_dtype="bfloat16"),
     "grp16": lambda cfg: None,  # handled via sampling._GROUP_WIDTH below
     "grp4": lambda cfg: None,

@@ -46,7 +46,9 @@ def make_train_step(model, cfg, donate: bool = True,
     # ops/conv9dot.py::conv3x3_tapcat.
     tapcat_max_ch = cfg.get("conv3x3_tapcat_max_ch", None) if hasattr(cfg, "get") else None
     # Fold nearest-up2 into the consuming convs (ops/conv9dot.py).
-    fold_up = bool(cfg.get("fold_upconv", False)) if hasattr(cfg, "get") else False
+    # Default None = AUTO (on for TPU; round-4 measured 10.65 f/s combined
+    # with uint8 taps vs 9.38 base at the flagship config).
+    fold_up = cfg.get("fold_upconv", None) if hasattr(cfg, "get") else None
 
     def step(state, batch, rng):
         from ..models.common import (conv_dots_scope, fold_upconv_scope,
@@ -96,8 +98,8 @@ def make_eval_step(model, cfg=None) -> Callable:
         cfg is not None and hasattr(cfg, "get")) else None
     tapcat_max_ch = cfg.get("conv3x3_tapcat_max_ch", None) if (
         cfg is not None and hasattr(cfg, "get")) else None
-    fold_up = bool(cfg.get("fold_upconv", False)) if (
-        cfg is not None and hasattr(cfg, "get")) else False
+    fold_up = cfg.get("fold_upconv", None) if (
+        cfg is not None and hasattr(cfg, "get")) else None
 
     def step(state, batch):
         from ..models.common import (conv_dots_scope, fold_upconv_scope,
@@ -211,6 +213,33 @@ class Trainer:
         """
         from .checkpoint import restore_checkpoint
 
+        # Orbax restores arrays onto the default device only; on a mesh
+        # the resumed step would then mix a device-0 state with sharded
+        # batches (jit rejects the placement). Capture the live state's
+        # shardings up front and re-place every restored leaf. (Flat
+        # lists, not tree_map: a None "sharding" leaf would be read as an
+        # empty subtree and break structure matching.)
+        from jax.sharding import NamedSharding, PartitionSpec, SingleDeviceSharding
+
+        def _target(s):
+            # A live single-device leaf (e.g. the uncommitted `step`
+            # scalar) must come back mesh-REPLICATED: Orbax restores it
+            # COMMITTED to device 0, which jit rejects next to sharded
+            # batches; the uncommitted original was silently replicable.
+            if isinstance(s, SingleDeviceSharding):
+                return NamedSharding(self.mesh, PartitionSpec())
+            return s
+
+        live_leaves, _ = jax.tree_util.tree_flatten(state)
+        shardings = [_target(getattr(x, "sharding", None))
+                     for x in live_leaves]
+
+        def replace_like(restored):
+            leaves, treedef = jax.tree_util.tree_flatten(restored)
+            return jax.tree_util.tree_unflatten(treedef, [
+                jax.device_put(x, s) if s is not None else x
+                for x, s in zip(leaves, shardings)])
+
         restarts = 0
         while True:
             try:
@@ -224,6 +253,7 @@ class Trainer:
                              "attempt": restarts})
                 try:
                     state, epoch = restore_checkpoint(work_dir, state)
+                    state = replace_like(state)
                     start_epoch = epoch
                 except FileNotFoundError:
                     start_epoch = 0  # no checkpoint yet: restart from scratch

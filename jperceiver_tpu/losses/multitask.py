@@ -192,10 +192,17 @@ def compute_losses(
     import jax.numpy as _jnp
 
     # "uint8" is lossless for the loader's 8-bit-exact images and halves
-    # gather bytes vs bf16 (see ops/sampling.py).
+    # gather bytes vs bf16 (see ops/sampling.py). Default "auto" = uint8
+    # on the TPU backend (round-4 whole-step: 9.97 vs 9.38 f/s alone,
+    # 10.65 f/s with fold_upconv), bfloat16 elsewhere (CPU goldens keep
+    # their established tolerance story).
+    tap_choice = cfg.get("warp_tap_dtype", "auto")
+    if tap_choice == "auto":
+        import jax as _jax
+
+        tap_choice = "uint8" if _jax.default_backend() == "tpu" else "bfloat16"
     tap_dtype = {"bfloat16": _jnp.bfloat16, "float32": None,
-                 "uint8": _jnp.uint8}[
-        cfg.get("warp_tap_dtype", "bfloat16")]
+                 "uint8": _jnp.uint8}[tap_choice]
     all_preds = _warped_frames_all(
         outputs, batch, scales, frame_ids, height, width,
         cfg.min_depth, cfg.max_depth, tap_dtype=tap_dtype,

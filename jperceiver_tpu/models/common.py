@@ -126,7 +126,12 @@ _CONV_TAPCAT_MAX_CH: int | None = None
 # Fold nearest-up2 into the following 3x3 conv (`ops/conv9dot.py::
 # upconv3x3_dots`): 2.25x fewer conv FLOPs on the up->conv edges and no
 # (2H, 2W, C) upsample materialization. Trace-time knob like the others.
-_FOLD_UPCONV: bool = False
+# None = AUTO: on for the TPU backend (whole-step measured round 4:
+# 9.94 vs 9.38 f/s alone, 10.65 f/s combined with uint8 warp taps at the
+# flagship 1024^2 config), off elsewhere (CPU goldens take XLA's
+# upsample+conv). The transform is numerically exact either way
+# (tests/test_conv9dot.py fold_upconv parity suite).
+_FOLD_UPCONV: bool | None = None
 
 
 class PreUp:
@@ -142,9 +147,9 @@ class PreUp:
 class fold_upconv_scope:
     """Trace-time switch (`cfg.fold_upconv`): decoders hand `PreUp`
     activations to their up->conv edges instead of materializing the
-    nearest-up2 tensor."""
+    nearest-up2 tensor. `enabled=None` restores AUTO (on for TPU)."""
 
-    def __init__(self, enabled: bool = True):
+    def __init__(self, enabled: bool | None = True):
         self.enabled = enabled
 
     def __enter__(self):
@@ -159,6 +164,10 @@ class fold_upconv_scope:
 
 
 def fold_upconv_active() -> bool:
+    if _FOLD_UPCONV is None:
+        import jax
+
+        return jax.default_backend() == "tpu"
     return _FOLD_UPCONV
 
 
