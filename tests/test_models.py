@@ -160,8 +160,12 @@ def test_branch_skip_matches_dual_branch():
     assert JPerceiver.from_config(cfg2).branches == "vehicle"
     cfg3 = Config.fromdict(dict(type="Argo_both", skip_inactive_branch=True))
     assert JPerceiver.from_config(cfg3).branches == "both"
+    # Round-4 default flip: single-branch types skip the inactive branch
+    # unless skip_inactive_branch=False explicitly restores both.
     cfg4 = Config.fromdict(dict(type="static"))
-    assert JPerceiver.from_config(cfg4).branches == "both"
+    assert JPerceiver.from_config(cfg4).branches == "road"
+    cfg5 = Config.fromdict(dict(type="static", skip_inactive_branch=False))
+    assert JPerceiver.from_config(cfg5).branches == "both"
 
 
 def test_stem_conv_matches_plain_conv():

@@ -191,6 +191,22 @@ def test_export_round_trip(ref_state_dict):
             v, ref_state_dict[k].numpy(), err_msg=k)
 
 
+def test_export_single_branch(ref_state_dict):
+    """Export of a road-only tree (skip_inactive_branch, the round-4
+    default for single-branch types): vehicle-branch modules are simply
+    absent from the exported dict — no KeyError, everything else intact."""
+    params, stats = import_torch_baseline(ref_state_dict, depth=18)
+    for tree in (params, stats):
+        for k in [k for k in tree if k.endswith("_b")]:
+            tree.pop(k)
+    exported = export_torch_baseline(params, stats)
+    b_prefixes = ("CycledViewProjectionB", "CrossViewTransformerB",
+                  "LayoutDecoderB", "LayoutTransformDecoderB")
+    assert not [k for k in exported if k.startswith(b_prefixes)]
+    assert any(k.startswith("CycledViewProjection.") for k in exported)
+    assert any(k.startswith("DepthDecoder.") for k in exported)
+
+
 def test_load_torch_baseline_file(tmp_path, ref_state_dict):
     """mmcv-style wrapper + DDP 'module.' prefix load path (train.py:83-88)."""
     import optax
