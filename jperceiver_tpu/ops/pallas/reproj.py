@@ -131,27 +131,30 @@ def _min_rl(preds, targ, lo_h, n_h, lo_w, n_w):
 
 
 def _fwd_kernel(p_ref, t_ref, o_ref):
-    # p (1, 1, F, C, rows+8, Wp), t (1, C, rows+8, Wp), o (1, 1, rows, W).
-    # Blocks carry an 8-row halo (TPU wants 8-divisible sublane block
-    # dims); only the first rows+4 rows are live, the rest are dead pad.
+    # p (1, 1, 1, F, C, rows+8, Wp), t (1, 1, C, rows+8, Wp),
+    # o (1, 1, rows, W). Each block reads its own pre-materialized halo'd
+    # row strip (strips are DISJOINT along the strip axis — overlapping
+    # `pl.Element` halo blocks crash the Mosaic compiler outright at
+    # multi-block grids, with no diagnostic; see `_row_strips`). Strips
+    # carry rows+8 sublanes (8-divisible); only rows+4 are live.
     rows, w = o_ref.shape[2], o_ref.shape[3]
-    o_ref[0, 0] = _min_rl(p_ref[0, 0], t_ref[0], 1, rows, 1, w)
+    o_ref[0, 0] = _min_rl(p_ref[0, 0, 0], t_ref[0, 0], 1, rows, 1, w)
 
 
 def _bwd_kernel(p_ref, t_ref, cz_ref, o_ref):
-    # cz (1, 1, rows+8, W+2): cotangent incl. a 1-stat halo (zero at the
-    # image border; rows beyond rows+2 are dead pad for the TPU's
+    # cz (1, 1, 1, rows+8, W+2): cotangent strip incl. a 1-stat halo (zero
+    # at the image border; rows beyond rows+2 are dead pad for the TPU's
     # 8-divisible sublane block constraint); o (1, 1, F, C, rows, W):
-    # interior pred gradients.
+    # interior pred gradients. Strips are disjoint (see _fwd_kernel).
     rows, w = o_ref.shape[4], o_ref.shape[5]
-    targ = t_ref[0]
-    cot = cz_ref[0, 0, :rows + 2]
+    targ = t_ref[0, 0]
+    cot = cz_ref[0, 0, 0, :rows + 2]
 
     def fn(pred_block):
         rl = _min_rl(pred_block, targ, 0, rows + 2, 0, w + 2)
         return jnp.sum(rl * cot)
 
-    g = jax.grad(fn)(p_ref[0, 0].astype(jnp.float32))
+    g = jax.grad(fn)(p_ref[0, 0, 0].astype(jnp.float32))
     # Interior image rows of this block live at padded-local [2, rows+2);
     # same for cols. (Halo-row gradients are partial here and owned by the
     # neighboring blocks / the ring fixups.)
@@ -382,26 +385,40 @@ def _halo_pad(x, extra):
     return jnp.pad(x, pads)
 
 
+def _row_strips(x, rows, nb, strip_axis):
+    """(…, H', W') -> (…, nb, rows+8, W') disjoint halo'd row strips.
+
+    Strip i carries padded rows [i*rows, i*rows + rows + 8) — each grid
+    block then reads its OWN strip through a plain BlockSpec. The halo is
+    materialized HERE (one fused XLA copy, ~1.13x the input bytes at the
+    flagship's rows=64) because expressing it as overlapping `pl.Element`
+    blocks crashes the Mosaic compiler (`tpu_compile_helper` exit 1, no
+    diagnostic) whenever the grid has >1 row block: every multi-block
+    shape failed, every single-block shape compiled (round-4 repro).
+    """
+    h_ax = x.ndim - 2
+    return jnp.stack(
+        [jax.lax.slice_in_dim(x, i * rows, i * rows + rows + 8, axis=h_ax)
+         for i in range(nb)], axis=strip_axis)
+
+
 def _fwd(preds, targ, block_rows):
     s, b, f, c, h, w = preds.shape
     rows = _block_rows_for(h, block_rows)
-    pp = _halo_pad(_pad_rz(preds), 4)     # rows axis: h+8
-    tp_ = _halo_pad(_pad_rz(targ), 4)
+    nb = h // rows
+    pp = _row_strips(_halo_pad(_pad_rz(preds), 4), rows, nb, 2)
+    tp_ = _row_strips(_halo_pad(_pad_rz(targ), 4), rows, nb, 1)
     wp = w + 4
     out = pl.pallas_call(
         _fwd_kernel,
-        grid=(s, b, h // rows),
+        grid=(s, b, nb),
         in_specs=[
-            # ALL dims Element: Mosaic rejects mixed Element/blocked specs
-            # ("all block dimensions must be Elements or none"). Size-1 and
-            # full-extent dims have identical offset semantics either way.
-            pl.BlockSpec((pl.Element(1), pl.Element(1), pl.Element(f),
-                          pl.Element(c), pl.Element(rows + 8),
-                          pl.Element(wp)),
-                         lambda si, bi, ri: (si, bi, 0, 0, ri * rows, 0)),
-            pl.BlockSpec((pl.Element(1), pl.Element(c),
-                          pl.Element(rows + 8), pl.Element(wp)),
-                         lambda si, bi, ri: (bi, 0, ri * rows, 0)),
+            # pp (S, B, nb, F, C, rows+8, Wp): one strip per block.
+            pl.BlockSpec((1, 1, 1, f, c, rows + 8, wp),
+                         lambda si, bi, ri: (si, bi, ri, 0, 0, 0, 0)),
+            # tp (B, nb, C, rows+8, Wp).
+            pl.BlockSpec((1, 1, c, rows + 8, wp),
+                         lambda si, bi, ri: (bi, ri, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, rows, w),
                                lambda si, bi, ri: (si, bi, ri, 0)),
@@ -421,31 +438,30 @@ def _bwd_core(preds, targ, cot, block_rows):
     # Smaller backward blocks: the grad-of-closure kernel holds the
     # block's forward residuals in VMEM (~16 MB/core on v5e).
     rows = _block_rows_for(h, min(block_rows, 16))
+    nb = h // rows
     pp0 = _pad_rz(preds)                  # rows axis: h+4 (ring fixups)
     tp0 = _pad_rz(targ)
-    pp = _halo_pad(pp0, 4)                # rows axis: h+8 (kernel blocks)
-    tp_ = _halo_pad(tp0, 4)
+    # Disjoint halo'd strips (see _row_strips: overlapping Element blocks
+    # crash Mosaic).
+    pp = _row_strips(_halo_pad(pp0, 4), rows, nb, 2)
+    tp_ = _row_strips(_halo_pad(tp0, 4), rows, nb, 1)
     wp = w + 4
     cot = cot.astype(jnp.float32)
     # Zero-embedded cotangent with a 1-stat halo ring (+6 dead pad rows so
-    # cz blocks read a fixed rows+8 extent).
+    # cz strips carry a fixed rows+8 extent).
     cz = jnp.zeros((s, b, h + 8, w + 2), jnp.float32)
     cz = cz.at[:, :, 1:h + 1, 1:-1].set(cot)
+    cz = _row_strips(cz, rows, nb, 2)     # (S, B, nb, rows+8, W+2)
     dint = pl.pallas_call(
         _bwd_kernel,
-        grid=(s, b, h // rows),
+        grid=(s, b, nb),
         in_specs=[
-            # All-Element specs (see _fwd).
-            pl.BlockSpec((pl.Element(1), pl.Element(1), pl.Element(f),
-                          pl.Element(c), pl.Element(rows + 8),
-                          pl.Element(wp)),
-                         lambda si, bi, ri: (si, bi, 0, 0, ri * rows, 0)),
-            pl.BlockSpec((pl.Element(1), pl.Element(c),
-                          pl.Element(rows + 8), pl.Element(wp)),
-                         lambda si, bi, ri: (bi, 0, ri * rows, 0)),
-            pl.BlockSpec((pl.Element(1), pl.Element(1),
-                          pl.Element(rows + 8), pl.Element(w + 2)),
-                         lambda si, bi, ri: (si, bi, ri * rows, 0)),
+            pl.BlockSpec((1, 1, 1, f, c, rows + 8, wp),
+                         lambda si, bi, ri: (si, bi, ri, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, c, rows + 8, wp),
+                         lambda si, bi, ri: (bi, ri, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, rows + 8, w + 2),
+                         lambda si, bi, ri: (si, bi, ri, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, f, c, rows, w),
                                lambda si, bi, ri: (si, bi, 0, 0, ri, 0)),
