@@ -79,17 +79,33 @@ _EPS = 1e-3  # charbonnier epsilon (`net.py:84-86`)
 
 def _win3(x, lo_h, n_h, lo_w, n_w):
     """3x3 window sums: entry (k, l) sums x[lo_h+k : lo_h+k+3,
-    lo_w+l : lo_w+l+3] -> (..., n_h, n_w). Static slices only."""
-    acc = None
+    lo_w+l : lo_w+l+3] -> (..., n_h, n_w). Static slices only,
+    SEPARABLE (3 row shifts then 3 col shifts — 6 slices/4 adds instead
+    of the naive 9/8; less Mosaic IR and fewer VPU ops)."""
+    rs = None
     for dy in range(3):
-        for dx in range(3):
-            t = x[..., lo_h + dy:lo_h + dy + n_h,
-                  lo_w + dx:lo_w + dx + n_w]
-            acc = t if acc is None else acc + t
+        t = x[..., lo_h + dy:lo_h + dy + n_h, lo_w:lo_w + n_w + 2]
+        rs = t if rs is None else rs + t
+    acc = None
+    for dx in range(3):
+        t = rs[..., :, dx:dx + n_w]
+        acc = t if acc is None else acc + t
     return acc
 
 
-def _rl_grid(pred, targ, lo_h, n_h, lo_w, n_w):
+def _targ_stats(targ, lo_h, n_h, lo_w, n_w):
+    """Per-channel (mu_y, sigma_y, ys) of the target — frame-invariant,
+    so `_min_rl` computes them ONCE instead of per warped frame."""
+    out = []
+    for ci in range(targ.shape[0]):
+        ys = targ[ci].astype(jnp.float32)
+        mu_y = _win3(ys, lo_h, n_h, lo_w, n_w) * (1.0 / 9.0)
+        sigma_y = _win3(ys * ys, lo_h, n_h, lo_w, n_w) * (1.0 / 9.0) - mu_y * mu_y
+        out.append((mu_y, sigma_y, ys))
+    return out
+
+
+def _rl_grid(pred, targ, lo_h, n_h, lo_w, n_w, tstats=None):
     """Per-pixel reprojection loss on a stats grid.
 
     pred/targ: (C, H', W') (any float dtype; stats run fp32). Stat (k, l)
@@ -97,14 +113,14 @@ def _rl_grid(pred, targ, lo_h, n_h, lo_w, n_w):
     the window center. Returns (n_h, n_w) fp32.
     """
     c = pred.shape[0]
+    if tstats is None:
+        tstats = _targ_stats(targ, lo_h, n_h, lo_w, n_w)
     acc = None
     for ci in range(c):
         xs = pred[ci].astype(jnp.float32)
-        ys = targ[ci].astype(jnp.float32)
+        mu_y, sigma_y, ys = tstats[ci]
         mu_x = _win3(xs, lo_h, n_h, lo_w, n_w) * (1.0 / 9.0)
-        mu_y = _win3(ys, lo_h, n_h, lo_w, n_w) * (1.0 / 9.0)
         sigma_x = _win3(xs * xs, lo_h, n_h, lo_w, n_w) * (1.0 / 9.0) - mu_x * mu_x
-        sigma_y = _win3(ys * ys, lo_h, n_h, lo_w, n_w) * (1.0 / 9.0) - mu_y * mu_y
         sigma_xy = _win3(xs * ys, lo_h, n_h, lo_w, n_w) * (1.0 / 9.0) - mu_x * mu_y
         num = (2 * mu_x * mu_y + _C1) * (2 * sigma_xy + _C2)
         den = (mu_x * mu_x + mu_y * mu_y + _C1) * (sigma_x + sigma_y + _C2)
@@ -119,9 +135,10 @@ def _rl_grid(pred, targ, lo_h, n_h, lo_w, n_w):
 
 def _min_rl(preds, targ, lo_h, n_h, lo_w, n_w):
     """min over the leading frame dim of `_rl_grid`. preds (F, C, H', W')."""
+    tstats = _targ_stats(targ, lo_h, n_h, lo_w, n_w)
     best = None
     for f in range(preds.shape[0]):
-        rl = _rl_grid(preds[f], targ, lo_h, n_h, lo_w, n_w)
+        rl = _rl_grid(preds[f], targ, lo_h, n_h, lo_w, n_w, tstats)
         best = rl if best is None else jnp.minimum(best, rl)
     return best
 
