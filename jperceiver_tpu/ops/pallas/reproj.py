@@ -163,15 +163,67 @@ def _bwd_kernel(p_ref, t_ref, cz_ref, o_ref):
     # at the image border; rows beyond rows+2 are dead pad for the TPU's
     # 8-divisible sublane block constraint); o (1, 1, F, C, rows, W):
     # interior pred gradients. Strips are disjoint (see _fwd_kernel).
+    #
+    # The naive `jax.grad` of the whole block closure crashes Mosaic (the
+    # window-sum SLICE TRANSPOSES lower to unaligned-lane accumulate
+    # stores; tpu_compile_helper exits 1 even at tiny shapes). Split
+    # instead: jax.grad covers ONLY the pointwise stats->loss map (exact
+    # JAX clip/min tie semantics, tiny IR); the window-sum transposes are
+    # hand-chained as read-only correlations — the transpose of `_win3`
+    # is `_win3` of the 2-padded stat cotangent, the same shifted-read op
+    # class the (compiling) forward uses.
     rows, w = o_ref.shape[4], o_ref.shape[5]
-    targ = t_ref[0, 0]
-    cot = cz_ref[0, 0, 0, :rows + 2]
+    n_h, n_w = rows + 2, w + 2
+    cot = cz_ref[0, 0, 0, :n_h]
+    xs = p_ref[0, 0, 0].astype(jnp.float32)   # (F, C, rows+8, Wp)
+    ys = t_ref[0, 0].astype(jnp.float32)      # (C, rows+8, Wp)
 
-    def fn(pred_block):
-        rl = _min_rl(pred_block, targ, 0, rows + 2, 0, w + 2)
-        return jnp.sum(rl * cot)
+    # Forward window sums (batched over leading (F, C) / (C,) dims).
+    s1 = _win3(xs, 0, n_h, 0, n_w) * (1.0 / 9.0)            # mu_x
+    s2 = _win3(xs * xs, 0, n_h, 0, n_w) * (1.0 / 9.0)
+    sxy = _win3(xs * ys[None], 0, n_h, 0, n_w) * (1.0 / 9.0)
+    mu_y = _win3(ys, 0, n_h, 0, n_w) * (1.0 / 9.0)
+    sig_y = _win3(ys * ys, 0, n_h, 0, n_w) * (1.0 / 9.0) - mu_y * mu_y
+    xc = xs[..., 1:1 + n_h, 1:1 + n_w]
+    yc = ys[:, 1:1 + n_h, 1:1 + n_w]
+    f = xs.shape[0]
+    c = xs.shape[1]
 
-    g = jax.grad(fn)(p_ref[0, 0, 0].astype(jnp.float32))
+    def pointwise(s1, s2, sxy, xc):
+        best = None
+        for fi in range(f):
+            acc = None
+            for ci in range(c):
+                mu_x = s1[fi, ci]
+                sigma_x = s2[fi, ci] - mu_x * mu_x
+                sigma_xy = sxy[fi, ci] - mu_x * mu_y[ci]
+                num = (2 * mu_x * mu_y[ci] + _C1) * (2 * sigma_xy + _C2)
+                den = (mu_x * mu_x + mu_y[ci] * mu_y[ci] + _C1) * (
+                    sigma_x + sig_y[ci] + _C2)
+                s = jnp.clip((1.0 - num / den) * 0.5, 0.0, 1.0)
+                d = yc[ci] - xc[fi, ci]
+                ch = jnp.sqrt(d * d + _EPS * _EPS)
+                t = _SSIM_W * s + _L1_W * ch
+                acc = t if acc is None else acc + t
+            rl = acc * (1.0 / c)
+            best = rl if best is None else jnp.minimum(best, rl)
+        return jnp.sum(best * cot)
+
+    ds1, ds2, dsxy, dxc = jax.grad(pointwise, argnums=(0, 1, 2, 3))(
+        s1, s2, sxy, xc)
+
+    def corr(d):
+        # Transpose of `_win3(., 0, n_h, 0, n_w)`: pixel (i, j) receives
+        # the window cotangents of stats (i-2..i, j-2..j) — a 3x3 window
+        # SUM over the 2-padded cotangent. Reads only.
+        dp = jnp.pad(d, ((0, 0), (0, 0), (2, 2), (2, 2)))
+        return _win3(dp, 0, n_h + 2, 0, n_w + 2)
+
+    xs_pix = xs[..., :n_h + 2, :n_w + 2]
+    ys_pix = ys[None][..., :n_h + 2, :n_w + 2]
+    g = (corr(ds1) + corr(ds2) * (2.0 * xs_pix)
+         + corr(dsxy) * ys_pix) * (1.0 / 9.0)
+    g = g + jnp.pad(dxc, ((0, 0), (0, 0), (1, 1), (1, 1)))
     # Interior image rows of this block live at padded-local [2, rows+2);
     # same for cols. (Halo-row gradients are partial here and owned by the
     # neighboring blocks / the ring fixups.)
