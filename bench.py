@@ -96,8 +96,12 @@ def main() -> None:
     # restores the materialized upsample for A/B.
     fold_up = "--fold-upconv" in sys.argv
     no_fold_up = "--no-fold-upconv" in sys.argv
-    preproj = "--pallas-reproj" in sys.argv  # fused reprojection kernel
+    # Fused Pallas reprojection kernel: AUTO default = ON for TPU with
+    # bf16 operands (landed round 4: 11.28 vs 10.80 f/s). Flags force.
+    preproj = "--pallas-reproj" in sys.argv
+    no_preproj = "--no-pallas-reproj" in sys.argv
     preproj_bf16 = "--reproj-bf16" in sys.argv  # bf16 kernel operands
+    preproj_f32 = "--reproj-f32" in sys.argv  # kernel on, fp32 operands
     gather_grp = int_flag("--gather-grp")  # x-positions per gather row
     if gather_grp is not None:
         from jperceiver_tpu.ops import sampling as _sampling
@@ -151,9 +155,13 @@ def main() -> None:
         cfg.fold_upconv = False
     if preproj:
         cfg.use_pallas_reproj = True
+    elif no_preproj:
+        cfg.use_pallas_reproj = False
     if preproj_bf16:
         cfg.use_pallas_reproj = True
         cfg.pallas_reproj_bf16 = True
+    elif preproj_f32:
+        cfg.pallas_reproj_bf16 = False
     if both_branches:
         cfg.skip_inactive_branch = False
     if "--no-const-vjp" in sys.argv:  # plain-autodiff photometric warp

@@ -41,6 +41,10 @@ KNOBS = {
         setattr(cfg, "use_pallas_reproj", True),
         setattr(cfg, "pallas_reproj_bf16", True),
     ),
+    # Round-4 default flip: the kernel (with bf16 operands) is TPU AUTO
+    # default; these knobs turn it off / force fp32 operands for A/B.
+    "no_reproj": lambda cfg: setattr(cfg, "use_pallas_reproj", False),
+    "reproj_f32": lambda cfg: setattr(cfg, "pallas_reproj_bf16", False),
     "skipb": lambda cfg: setattr(cfg, "skip_inactive_branch", True),
     # Round-4 default flip: single-branch types now skip the inactive
     # branch by default, so "skipb" is a no-op and "bothb" is the A/B.

@@ -230,17 +230,27 @@ def compute_losses(
     # `use_pallas_reproj`: fuse SSIM+charbonnier+frame-min into one Pallas
     # kernel (ops/pallas/reproj.py) — min(identity, min_warped) is the
     # same 2F-way min as the stacked path (min is associative; identity
-    # pairs carry no gradient either way). Default off until
-    # whole-step-measured.
-    use_preproj = bool(cfg.get("use_pallas_reproj", False))
+    # pairs carry no gradient either way). Default "auto" = ON for the
+    # TPU backend (round-4 whole-step: 11.28 vs 10.80 f/s with bf16
+    # operands at the flagship config; 300-step overfit clean), OFF
+    # elsewhere (the CPU interpret path is for parity tests only).
+    use_preproj = cfg.get("use_pallas_reproj", "auto")
+    if use_preproj == "auto":
+        from ..ops.pallas.reproj import HAVE_PALLAS
+
+        use_preproj = HAVE_PALLAS and jax.default_backend() == "tpu"
+    use_preproj = bool(use_preproj)
     if use_preproj:
         from ..ops.pallas.reproj import reproj_min_pallas
 
         targ_pl = jnp.transpose(target, (0, 3, 1, 2))  # (B, C, H, W)
-        # Optional bf16 kernel operands (`pallas_reproj_bf16`): halves the
-        # kernel's HBM traffic; window statistics still accumulate fp32 in
-        # VMEM. Same 8-bit-image argument as warp_tap_dtype=bfloat16.
-        if bool(cfg.get("pallas_reproj_bf16", False)):
+        # bf16 kernel operands (`pallas_reproj_bf16`, default "auto" = on
+        # wherever the kernel itself is on): halves the kernel's HBM
+        # traffic; window statistics still accumulate fp32 in VMEM. Same
+        # 8-bit-image argument as warp_tap_dtype=bfloat16 (the pre-u8
+        # default for the very same tensors). Set False for fp32 operands.
+        reproj_bf16 = cfg.get("pallas_reproj_bf16", "auto")
+        if bool(use_preproj if reproj_bf16 == "auto" else reproj_bf16):
             targ_pl = targ_pl.astype(jnp.bfloat16)
             ident = ident.astype(jnp.bfloat16)
         # Identity pairs through the same kernel: frames on the SCALE
