@@ -198,8 +198,11 @@ def main(argv) -> None:
             continue
         KNOBS[knob](cfg)
 
+    # Same branch selection as bench.py's primary config (single-branch
+    # since the round-4 skip_inactive_branch default flip).
     model = JPerceiver(height=h, width=w, occ_map_size=occ,
-                       dtype=jnp.bfloat16, branches="both")
+                       dtype=jnp.bfloat16,
+                       branches=JPerceiver._branches_from_cfg(cfg))
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(bsz, h, w, occ).items()}
     tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
