@@ -66,6 +66,7 @@ def parse_hlo(text: str) -> dict:
             shapes[d.group(1)] = _dims(d.group(3))
 
     dots: dict[tuple, float] = {}  # (M, K, N) -> flops
+    convs: dict[tuple, float] = {}  # (kspatial, Cin, O) -> flops
     conv_flops = 0.0
     gather_rows = 0
     gather_bytes = 0
@@ -98,15 +99,36 @@ def parse_hlo(text: str) -> dict:
             kshape = arg_shapes[1]
             dl = re.search(r"dim_labels=\w+_(\w+)->", line)
             if dl:
-                klabels = dl.group(1)  # e.g. '01io'
+                klabels = dl.group(1)  # e.g. '01io' / 'io' (dot-as-conv)
                 cin = kshape[klabels.index("i")]
-                spatial = _prod(kshape[i] for i, c in enumerate(klabels)
-                                if c not in ("i", "o"))
+                kspatial = [kshape[i] for i, c in enumerate(klabels)
+                            if c not in ("i", "o")]
             else:
-                cin, spatial = kshape[-2], _prod(kshape[:-2])
+                cin, kspatial = kshape[-2], list(kshape[:-2])
+            # XLA:TPU canonicalizes EVERY dot_general to a convolution:
+            # plain dots print as `dim_labels=bf_io->bf` (no spatial),
+            # and batched dots / `jax.image.resize` print with big
+            # non-reduced RIDER dims in the kernel (e.g. window=256x2x2
+            # for a bilinear resize) — multiplying by those overcounted
+            # the step 4x. Real conv kernels here are <=7; treat larger
+            # kernel dims as riders (each output reads ONE slice).
+            spatial = _prod(d for d in kspatial if d <= 7)
             g = re.search(r"feature_group_count=(\d+)", line)
             groups = int(g.group(1)) if g else 1
-            conv_flops += 2.0 * _prod(out_dims) * spatial * cin / groups
+            flops = 2.0 * _prod(out_dims) * spatial * cin / groups
+            if not kspatial or all(d > 7 or d == 1 for d in kspatial):
+                # Pure contraction: dot-as-conv (no spatial / rider-only)
+                # or 1x1-kernel conv (CCT q/k/v etc.) — MXU class,
+                # bucketed by (M, K, N) like a dot.
+                n_dim = kshape[klabels.index("o")] if dl else kshape[-1]
+                m_dim = _prod(out_dims) // max(1, n_dim)
+                key = (m_dim, int(spatial * cin), n_dim)
+                dots[key] = dots.get(key, 0.0) + flops
+            else:
+                conv_flops += flops
+                key = (tuple(d for d in kspatial if d <= 7), cin,
+                       kshape[klabels.index("o")] if dl else kshape[-1])
+                convs[key] = convs.get(key, 0.0) + flops
         else:  # gather
             ss = re.search(r"slice_sizes=\{([0-9,]*)\}", line)
             if ss is None:
@@ -117,39 +139,63 @@ def parse_hlo(text: str) -> dict:
             bytes_per = {"bf16": 2, "f16": 2, "u8": 1, "s8": 1}.get(m.group(1), 4)
             gather_bytes += _prod(out_dims) * bytes_per
 
-    return {"dots": dots, "conv_flops": conv_flops,
+    return {"dots": dots, "convs": convs, "conv_flops": conv_flops,
             "gather_rows": gather_rows, "gather_bytes": gather_bytes}
 
 
-def measure_dot(mm, kk, nn, iters=8) -> float:
-    """Measured TFLOP/s of an (M,K)@(K,N) bf16 dot on this chip."""
+def measure_dot(mm, kk, nn, chain=50) -> float:
+    """Measured TFLOP/s of an (M,K)@(K,N) bf16 dot on this chip.
+
+    Chained fori_loop with a null-op floor subtracted (the convbench3
+    methodology): per-dispatch timing through the tunnel has a ~ms floor
+    that swamps small shapes — an isolated probe 'measured' the step's
+    dominant (16384,64,256) dot at 0.12 TFLOP/s, 100x under its
+    in-program rate."""
     import jax
     import jax.numpy as jnp
 
     a = jnp.ones((mm, kk), jnp.bfloat16)
     b = jnp.ones((kk, nn), jnp.bfloat16)
-    f = jax.jit(lambda x, y: jnp.matmul(x, y))
-    f(a, b)
-    float(jnp.sum(f(a, b).astype(jnp.float32)))  # honest sync
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = f(a, b)
-    float(jnp.sum(out.astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / iters
-    return 2.0 * mm * kk * nn / dt / 1e12
+
+    def timed(f):
+        @jax.jit
+        def many(x, y):
+            def body(_, acc):
+                return acc + f(x + (acc * 1e-30).astype(x.dtype), y)
+            return jax.lax.fori_loop(0, chain, body, jnp.float32(0))
+
+        float(many(a, b))  # compile + warm
+        t0 = time.perf_counter()
+        float(many(a, b))  # scalar fetch = the only honest sync
+        return time.perf_counter() - t0
+
+    def dot_probe(x, y):
+        # optimization_barrier keeps the FULL dot live so the one-element
+        # carry neither DCEs it nor lets the simplifier shrink it to a
+        # 1-row dot; a jnp.sum carry instead costs a full (M, N) pass
+        # that dominates K-starved shapes.
+        out = jax.lax.optimization_barrier(jnp.matmul(x, y))
+        return out[0, 0].astype(jnp.float32)
+
+    floor = timed(lambda x, y: x[0, 0].astype(jnp.float32))
+    dt = max(timed(dot_probe) - floor, 1e-9)
+    return 2.0 * mm * kk * nn * chain / dt / 1e12
 
 
 def measure_gather_rate(rows=4 * 1024 * 1024, width=128, iters=5) -> float:
-    """Measured rows/s on the warp's wide-row access pattern."""
+    """Measured rows/s on the warp's wide-row access pattern.
+
+    Uses the SAME lax.gather form as `ops/sampling._take_rows` (full
+    `width`-lane rows, PROMISE_IN_BOUNDS): a take_along_axis probe
+    gathered 1-element rows and under-reported the warp's rate 6x."""
     import jax
     import jax.numpy as jnp
 
-    src = jnp.ones((1026 * 1026, width), jnp.bfloat16)
-    idx = (jnp.arange(rows, dtype=jnp.int32) % (1026 * 1026))[:, None]
-    f = jax.jit(lambda s, i: jnp.take_along_axis(
-        s, jnp.broadcast_to(i, (rows, 1)), axis=0,
-        mode="promise_in_bounds"))
+    from jperceiver_tpu.ops.sampling import _take_rows
+
+    src = jnp.ones((1026 * 1026 // 8, width), jnp.bfloat16)
+    idx = jnp.arange(rows, dtype=jnp.int32) % (1026 * 1026 // 8)
+    f = jax.jit(lambda s, i: _take_rows(s, i))
     f(src, idx)
     float(jnp.sum(f(src, idx)[:, 0].astype(jnp.float32)))
     t0 = time.perf_counter()
@@ -265,6 +311,11 @@ def main(argv) -> None:
         "r_matmul_peak_tflops": round(r_mm_peak / 1e12, 1),
         "r_gather_mrows_s": round(r_gather / 1e6, 1),
         "top_dot_shapes": shape_rows,
+        "top_conv_shapes": [
+            {"kspatial": list(ks), "cin": ci, "o": o,
+             "gflops": round(fl / 1e9, 1)}
+            for (ks, ci, o), fl in sorted(
+                inv["convs"].items(), key=lambda kv: -kv[1])[:8]],
         "t_dots_ms": round(t_dots_measured * 1e3, 2),
         "t_conv_ms": round(t_conv * 1e3, 2),
         "t_gather_ms": round(t_gather * 1e3, 2),
