@@ -20,6 +20,20 @@ def resize_image(img: Image.Image, height: int, width: int) -> Image.Image:
 
 
 def to_array(img: Image.Image) -> np.ndarray:
+    """8-bit PIL image -> float32 in [0, 1].
+
+    INVARIANT (load-bearing for TPU perf): every value this produces is
+    exactly k/255 for integer k — `batch["color"]` (the un-jittered warp
+    SOURCES) keeps this property all the way to the photometric gather,
+    which is why `warp_tap_dtype="auto"`=uint8 on TPU can re-quantize the
+    taps losslessly (round(color*255) recovers k; `ops/sampling.py`).
+    `color_aug` (the network INPUT) may be jittered to arbitrary floats —
+    that's fine, it is never gathered. If a future pipeline change feeds
+    non-8-bit-exact values into `color`, set `warp_tap_dtype` to
+    "bfloat16"/"float32" or the TPU path will silently clip+quantize the
+    warp taps. `losses/multitask.py` asserts this invariant under
+    JPERCEIVER_DEBUG_U8=1.
+    """
     return np.asarray(img, np.float32) / 255.0
 
 

@@ -236,9 +236,13 @@ class Trainer:
 
         def replace_like(restored):
             leaves, treedef = jax.tree_util.tree_flatten(restored)
+            # strict: a restored tree whose leaf count drifted from the
+            # live template (e.g. a checkpoint saved under a different
+            # skip_inactive_branch setting) must fail loudly, not get
+            # silently truncated shardings.
             return jax.tree_util.tree_unflatten(treedef, [
                 jax.device_put(x, s) if s is not None else x
-                for x, s in zip(leaves, shardings)])
+                for x, s in zip(leaves, shardings, strict=True)])
 
         restarts = 0
         while True:

@@ -201,6 +201,26 @@ def compute_losses(
         import jax as _jax
 
         tap_choice = "uint8" if _jax.default_backend() == "tpu" else "bfloat16"
+    if tap_choice == "uint8":
+        import os as _os
+
+        if _os.environ.get("JPERCEIVER_DEBUG_U8"):
+            # Opt-in guard for the lossless-u8 invariant (see
+            # data/transforms.py::to_array): warp sources must be exactly
+            # k/255 or the uint8 tap path silently quantizes them.
+            import jax.debug as _jdbg
+
+            def _check_u8(c):
+                import numpy as _np
+
+                q = _np.round(_np.asarray(c, _np.float32) * 255.0) / 255.0
+                if not _np.allclose(_np.asarray(c, _np.float32), q, atol=1e-6):
+                    raise AssertionError(
+                        "warp_tap_dtype=uint8 but batch['color'] is not "
+                        "8-bit-exact (values != k/255); set warp_tap_dtype "
+                        "to bfloat16/float32 for non-8-bit sources")
+
+            _jdbg.callback(_check_u8, batch["color"])
     tap_dtype = {"bfloat16": _jnp.bfloat16, "float32": None,
                  "uint8": _jnp.uint8}[tap_choice]
     all_preds = _warped_frames_all(

@@ -107,8 +107,9 @@ class JPerceiver(nn.Module):
         exactly the class of fix as the collapsed duplicate
         `predict_layout` call. The ONLY divergence is the inactive
         branch's BatchNorm running stats, which the reference never reads
-        from that branch (verified output-parity test:
-        tests/test_models.py::test_branch_gating). Set
+        from that branch (verified output-parity tests:
+        tests/test_models.py::test_branch_skip_matches_dual_branch and
+        tests/test_losses.py::test_branch_gating_by_model_type). Set
         skip_inactive_branch=False for strict both-branch tracing."""
         if not cfg.get("skip_inactive_branch", True):
             return "both"

@@ -32,9 +32,12 @@ Tie semantics match XLA: the frame-min is built from `jnp.minimum`, so
 both paths split cotangents identically at ties; the SSIM clip passes
 gradient on the closed interval.
 
-Gated by `cfg.use_pallas_reproj` (default OFF until whole-step-measured —
-the Pallas-conv precedent in DESIGN.md: standalone wins must be confirmed
-by a full `bench.py` run on the real chip).
+Gated by `cfg.use_pallas_reproj` — default "auto" = ON for the TPU
+backend with bf16 operands since round 4 (whole-step-measured 11.28 vs
+10.80 f/s at the flagship config, `losses/multitask.py`; landed per the
+Pallas-conv precedent in DESIGN.md: standalone wins only count once a
+full `bench.py` run on the real chip confirms them), OFF elsewhere (the
+CPU interpret path exists for parity tests only).
 
 Data parallelism: a bare `pallas_call` carries no GSPMD partitioning
 rule, so under a batch-sharded step the compiler would all-gather the
