@@ -1,41 +1,52 @@
 """Achievable-ceiling analysis: what f/s can THIS chip reach on this step?
 
-VERDICT r3 item 9: decompose the flagship step's work into MXU-class
-(dot), conv-class (any convolutions XLA still lowers natively), and
-gather-class (the photometric warp), apply MEASURED per-class rooflines,
-and state the max frames/s a perfect scheduler could reach — so the
-remaining `vs_north_star` gap can be split into "scheduling losses we can
-still attack" vs "work the chip physically cannot do faster".
+VERDICT r3 item 9 asked for a per-class ceiling; the round-4 version
+answered it with ISOLATED per-shape dot probes and published
+`ceiling_fps_measured_classes = 0.47` against an achieved 11.4 f/s — the
+probes were latency-bound despite the chained-fori_loop methodology, and
+a "ceiling" 24x below the achieved number is self-refuting (VERDICT r4
+weak item 1; postmortem in DESIGN.md round-5 log).
 
-Method (all from the real compiled artifact, not estimates):
-  1. Compile the flagship train step on the TPU; walk the optimized HLO.
-  2. Every `dot` instruction: FLOPs = 2 * |out| * K (exact, per shape).
-     Every `convolution`: FLOPs = 2 * |out| * prod(kernel_spatial) * Cin/g.
-     Every `gather`: rows = |out| / prod(slice_sizes).
-  3. Measure dot throughput AT THE STEP'S OWN dominant shapes (top-N by
-     FLOPs) — a 64-channel dot cannot run at the 8192^2 roofline, so the
-     per-shape measurement is the honest per-class ceiling.
-  4. ceiling = B / (sum_shapes flops_s / tput_s  +  conv_flops / R_conv
-                    + gather_rows / R_gather)
-     plus an "ideal" variant with ALL flops at the 8192^2 matmul roofline.
+Round-5 method — in-program attribution, no standalone probes:
+  1. Compile the flagship train step; walk the optimized HLO.
+     - Inventory the work EXACTLY per instruction: dot FLOPs, conv FLOPs
+       (spatial kernels), gather rows/bytes — including inside fusion
+       bodies.
+     - Classify every instruction (fusions by their body) into
+       gather / conv / mxu (dots + 1x1 convs) / pallas / other.
+  2. Run a `jax.profiler` trace over N real steps IN THIS PROCESS and sum
+     device time per class from the "XLA Ops" track.
+  3. ceiling_fps = B / (sum of per-step device op time): the no-bubble
+     perfect-scheduling bound. On a single core ops serialize, so
+     sum(op time) <= wall time and ceiling >= measured BY CONSTRUCTION —
+     the sanity bound the round-4 version violated is now structural
+     (and still asserted).
+  4. Per-class in-program rates fall out for free:
+     gather Mrows/s = inventoried rows / traced gather-class ms, etc.
+     These (not isolated probes) feed the ideal-ceiling arithmetic:
+     ceiling_fps_ideal = B / (total FLOPs at the measured matmul peak
+     + gather rows at the best in-program rate) — the number the chip
+     cannot exceed at the CURRENT work inventory no matter the schedule.
 
-Writes benchmarks/ceiling.json (bench.py surfaces `ceiling_fps` from it)
-and prints one JSON line. Run detached on the real chip:
-    python benchmarks/ceiling.py [--skip-measure]
+Writes benchmarks/ceiling.json (bench.py surfaces `ceiling_fps` and
+`vs_ceiling` from it) and prints one JSON line. Run detached on the real
+chip:
+    python benchmarks/ceiling.py [knob ...] [--steps N] [--skip-roofline]
 """
 
 from __future__ import annotations
 
+import collections
+import glob
+import gzip
 import json
-import math
 import os
 import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-SHAPE = re.compile(r"(?:bf16|f32|f16|s32|u32|s8|u8|pred)\[([0-9,]*)\]")
 
 
 def _dims(s: str) -> list[int]:
@@ -49,12 +60,53 @@ def _prod(xs) -> int:
     return out
 
 
-_DEF = re.compile(r"^\s*(?:ROOT )?%([\w.\-]+) = ([a-z0-9]+)\[([0-9,]*)\]")
+_COMP = re.compile(r"^(?:ENTRY )?%?([\w.\-]+) \(.*\) -> .* \{\s*$")
+_DEF = re.compile(r"^\s*(?:ROOT )?%?([\w.\-]+) = ([a-z0-9]+)\[([0-9,]*)\]")
 _OPERAND = re.compile(r"%([\w.\-]+)")
+_OPKIND = re.compile(
+    r"= *([a-z0-9]+)\[([0-9,]*)\][^ ]* "
+    r"(dot|convolution|gather|custom-call|fusion)\(")
+
+
+def _conv_work(line: str, out_dims, arg_shapes):
+    """(flops, is_mxu, key) for a convolution instruction.
+
+    XLA:TPU canonicalizes EVERY dot_general to a convolution: plain dots
+    print as `dim_labels=bf_io->bf` (no spatial), and batched dots /
+    `jax.image.resize` print with big non-reduced RIDER dims in the
+    kernel (e.g. window=256x2x2 for a bilinear resize) — multiplying by
+    those overcounted the step 4x in round 3. Real conv kernels here are
+    <=7; treat larger kernel dims as riders (each output reads ONE slice).
+    """
+    kshape = arg_shapes[1]
+    dl = re.search(r"dim_labels=\w+_(\w+)->", line)
+    if dl:
+        klabels = dl.group(1)  # e.g. '01io' / 'io' (dot-as-conv)
+        cin = kshape[klabels.index("i")]
+        kspatial = [kshape[i] for i, ch in enumerate(klabels)
+                    if ch not in ("i", "o")]
+        cout = kshape[klabels.index("o")]
+    else:
+        cin, kspatial, cout = kshape[-2], list(kshape[:-2]), kshape[-1]
+    spatial = _prod(d for d in kspatial if d <= 7)
+    g = re.search(r"feature_group_count=(\d+)", line)
+    groups = int(g.group(1)) if g else 1
+    flops = 2.0 * _prod(out_dims) * spatial * cin / groups
+    is_mxu = not kspatial or all(d > 7 or d == 1 for d in kspatial)
+    key = (tuple(d for d in kspatial if d <= 7), cin, cout)
+    return flops, is_mxu, key
 
 
 def parse_hlo(text: str) -> dict:
-    """Exact work inventory from optimized-HLO text.
+    """Work inventory + per-instruction class map from optimized-HLO text.
+
+    Returns {
+      dots: {(M,K,N): flops}, convs: {(kspatial,cin,cout): flops},
+      conv_flops, gather_rows, gather_bytes,
+      comp_of: {instr_name: computation_name},
+      instr: {instr_name: {"class": cls, "rows": r, "flops": f}},
+      fusion_calls: {fusion_instr_name: computation_name},
+    }
 
     Operands are printed as bare `%name` refs (no inline shapes) in this
     XLA version, so a first pass builds a name -> dims symbol table.
@@ -65,145 +117,229 @@ def parse_hlo(text: str) -> dict:
         if d:
             shapes[d.group(1)] = _dims(d.group(3))
 
-    dots: dict[tuple, float] = {}  # (M, K, N) -> flops
-    convs: dict[tuple, float] = {}  # (kspatial, Cin, O) -> flops
+    dots: dict[tuple, float] = {}
+    convs: dict[tuple, float] = {}
     conv_flops = 0.0
     gather_rows = 0
     gather_bytes = 0
+    instr: dict[str, dict] = {}
+    comp_of: dict[str, str] = {}
+    fusion_calls: dict[str, str] = {}
+    comp = None
 
-    for line in text.splitlines():
-        line = line.strip()
-        m = re.search(r"= *([a-z0-9]+)\[([0-9,]*)\][^ ]* (dot|convolution|gather)\(", line)
-        if not m:
+    for raw in text.splitlines():
+        h = _COMP.match(raw)
+        if h:
+            comp = h.group(1)
             continue
+        line = raw.strip()
+        d = _DEF.match(raw)
+        if d and comp:
+            comp_of[d.group(1)] = comp
+        m = _OPKIND.search(line)
+        if not m:
+            # Tuple-shaped outputs — `(bf16[..], u8[..]) fusion(...)` —
+            # don't match the single-shape regex; multi-output fusions
+            # and Pallas custom-calls are common on TPU and MUST land in
+            # the class map or the trace pass calls them "unknown".
+            name = None
+            if d:
+                name = d.group(1)
+            elif comp and raw.lstrip().startswith(("ROOT ", "%")):
+                t = re.match(r"^\s*(?:ROOT )?%?([\w.\-]+) = ", raw)
+                name = t.group(1) if t else None
+            if name and " fusion(" in line:
+                c = re.search(r"calls=%?([\w.\-]+)", line)
+                if c:
+                    fusion_calls[name] = c.group(1)
+                instr[name] = {"class": "fusion", "rows": 0, "flops": 0.0}
+                if comp:
+                    comp_of[name] = comp
+            elif name and " custom-call(" in line:
+                cls = ("pallas" if ("tpu_custom_call" in line
+                                    or "Mosaic" in line or "mosaic" in line)
+                       else "other")
+                instr[name] = {"class": cls, "rows": 0, "flops": 0.0}
+                if comp:
+                    comp_of[name] = comp
+            continue
+        name = d.group(1) if d else None
         out_dims = _dims(m.group(2))
         op = m.group(3)
-        paren = line[m.end():line.index(")", m.end())]
+        paren = line[m.end():line.index(")", m.end())] if ")" in line[m.end():] else ""
         arg_shapes = [shapes[n] for n in _OPERAND.findall(paren) if n in shapes]
+        cls, rows, flops = "other", 0, 0.0
 
         if op == "dot":
             lc = re.search(r"lhs_contracting_dims=\{([0-9,]*)\}", line)
-            if not arg_shapes or lc is None:
-                continue
-            lshape = arg_shapes[0]
-            k = _prod(lshape[int(d)] for d in lc.group(1).split(",") if d)
-            flops = 2.0 * _prod(out_dims) * k
-            # Bucket by (M, K, N) with batch dims folded into M.
-            n_dim = out_dims[-1] if out_dims else 1
-            m_dim = _prod(out_dims) // max(1, n_dim)
-            key = (m_dim, k, n_dim)
-            dots[key] = dots.get(key, 0.0) + flops
-        elif op == "convolution":
-            if len(arg_shapes) < 2:
-                continue
-            kshape = arg_shapes[1]
-            dl = re.search(r"dim_labels=\w+_(\w+)->", line)
-            if dl:
-                klabels = dl.group(1)  # e.g. '01io' / 'io' (dot-as-conv)
-                cin = kshape[klabels.index("i")]
-                kspatial = [kshape[i] for i, c in enumerate(klabels)
-                            if c not in ("i", "o")]
-            else:
-                cin, kspatial = kshape[-2], list(kshape[:-2])
-            # XLA:TPU canonicalizes EVERY dot_general to a convolution:
-            # plain dots print as `dim_labels=bf_io->bf` (no spatial),
-            # and batched dots / `jax.image.resize` print with big
-            # non-reduced RIDER dims in the kernel (e.g. window=256x2x2
-            # for a bilinear resize) — multiplying by those overcounted
-            # the step 4x. Real conv kernels here are <=7; treat larger
-            # kernel dims as riders (each output reads ONE slice).
-            spatial = _prod(d for d in kspatial if d <= 7)
-            g = re.search(r"feature_group_count=(\d+)", line)
-            groups = int(g.group(1)) if g else 1
-            flops = 2.0 * _prod(out_dims) * spatial * cin / groups
-            if not kspatial or all(d > 7 or d == 1 for d in kspatial):
-                # Pure contraction: dot-as-conv (no spatial / rider-only)
-                # or 1x1-kernel conv (CCT q/k/v etc.) — MXU class,
-                # bucketed by (M, K, N) like a dot.
-                n_dim = kshape[klabels.index("o")] if dl else kshape[-1]
+            if arg_shapes and lc is not None:
+                lshape = arg_shapes[0]
+                k = _prod(lshape[int(x)] for x in lc.group(1).split(",") if x)
+                flops = 2.0 * _prod(out_dims) * k
+                n_dim = out_dims[-1] if out_dims else 1
                 m_dim = _prod(out_dims) // max(1, n_dim)
-                key = (m_dim, int(spatial * cin), n_dim)
-                dots[key] = dots.get(key, 0.0) + flops
-            else:
-                conv_flops += flops
-                key = (tuple(d for d in kspatial if d <= 7), cin,
-                       kshape[klabels.index("o")] if dl else kshape[-1])
-                convs[key] = convs.get(key, 0.0) + flops
-        else:  # gather
+                dots[(m_dim, k, n_dim)] = dots.get((m_dim, k, n_dim), 0.0) + flops
+                cls = "mxu"
+        elif op == "convolution":
+            if len(arg_shapes) >= 2:
+                flops, is_mxu, key = _conv_work(line, out_dims, arg_shapes)
+                if is_mxu:
+                    n_dim = key[2]
+                    m_dim = _prod(out_dims) // max(1, n_dim)
+                    k = key[1] * _prod(key[0])
+                    dots[(m_dim, k, n_dim)] = dots.get(
+                        (m_dim, k, n_dim), 0.0) + flops
+                    cls = "mxu"
+                else:
+                    conv_flops += flops
+                    convs[key] = convs.get(key, 0.0) + flops
+                    cls = "conv"
+        elif op == "gather":
             ss = re.search(r"slice_sizes=\{([0-9,]*)\}", line)
-            if ss is None:
-                continue
-            slice_elems = _prod(_dims(ss.group(1)))
-            rows = _prod(out_dims) // max(1, slice_elems)
-            gather_rows += rows
-            bytes_per = {"bf16": 2, "f16": 2, "u8": 1, "s8": 1}.get(m.group(1), 4)
-            gather_bytes += _prod(out_dims) * bytes_per
+            if ss is not None:
+                slice_elems = _prod(_dims(ss.group(1)))
+                rows = _prod(out_dims) // max(1, slice_elems)
+                gather_rows += rows
+                bpe = {"bf16": 2, "f16": 2, "u8": 1, "s8": 1}.get(m.group(1), 4)
+                gather_bytes += _prod(out_dims) * bpe
+                cls = "gather"
+        elif op == "custom-call":
+            cls = "pallas" if ("tpu_custom_call" in line or "Mosaic" in line
+                              or "mosaic" in line) else "other"
+        elif op == "fusion":
+            c = re.search(r"calls=%?([\w.\-]+)", line)
+            if c and name:
+                fusion_calls[name] = c.group(1)
+            cls = "fusion"
+
+        if name:
+            instr[name] = {"class": cls, "rows": rows, "flops": flops}
+
+    # Every defined instruction that isn't one of the tracked op kinds
+    # (copies, transposes, reduces, while bodies, ...) classifies "other"
+    # — so the trace pass only reports truly-unknown names as unknown.
+    for name in comp_of:
+        instr.setdefault(name, {"class": "other", "rows": 0, "flops": 0.0})
 
     return {"dots": dots, "convs": convs, "conv_flops": conv_flops,
-            "gather_rows": gather_rows, "gather_bytes": gather_bytes}
+            "gather_rows": gather_rows, "gather_bytes": gather_bytes,
+            "instr": instr, "comp_of": comp_of, "fusion_calls": fusion_calls}
+
+
+_PRIORITY = ["pallas", "gather", "conv", "mxu", "other"]
+
+
+def classify(inv: dict) -> dict[str, str]:
+    """instr name -> class, resolving fusions by their body's heaviest op.
+
+    A fusion's class is the highest-priority class among the instructions
+    of its called computation (pallas > gather > conv > mxu > other): a
+    loop fusion wrapping the photometric gather is gather-class no matter
+    how much elementwise work XLA fused around it — the gather is what
+    sets its rate.
+    """
+    by_comp: dict[str, set] = collections.defaultdict(set)
+    for name, rec in inv["instr"].items():
+        comp = inv["comp_of"].get(name)
+        if comp is not None and rec["class"] != "fusion":
+            by_comp[comp].add(rec["class"])
+
+    def comp_class(comp: str) -> str:
+        present = by_comp.get(comp, set())
+        for cls in _PRIORITY:
+            if cls in present:
+                return cls
+        return "other"
+
+    out: dict[str, str] = {}
+    for name, rec in inv["instr"].items():
+        if rec["class"] == "fusion":
+            callee = inv["fusion_calls"].get(name)
+            out[name] = comp_class(callee) if callee else "other"
+        else:
+            out[name] = rec["class"]
+    return out
+
+
+def class_work(inv: dict, cls_of: dict[str, str]) -> dict:
+    """Aggregate inventoried rows/flops under each final class (a gather
+    inside a fusion contributes its rows to the FUSION's class)."""
+    fusion_of_comp = {callee: fname
+                      for fname, callee in inv["fusion_calls"].items()}
+    work = collections.defaultdict(lambda: {"rows": 0, "flops": 0.0})
+    for name, rec in inv["instr"].items():
+        if rec["class"] == "fusion":
+            continue
+        # Instruction inside a fused computation: attribute to the class
+        # of the fusion that calls it; top-level: its own class.
+        comp = inv["comp_of"].get(name, "")
+        fname = fusion_of_comp.get(comp)
+        owner_cls = cls_of[fname] if fname in cls_of else cls_of.get(
+            name, rec["class"])
+        work[owner_cls]["rows"] += rec["rows"]
+        work[owner_cls]["flops"] += rec["flops"]
+    return dict(work)
+
+
+def trace_class_ms(trace_dir: str, n_steps: int, cls_of: dict[str, str]):
+    """Per-class device ms/step from the profiler trace's XLA Ops track."""
+    hits = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not hits:
+        raise SystemExit(f"no trace under {trace_dir}")
+    with gzip.open(hits[-1]) as f:
+        data = json.load(f)
+    events = data["traceEvents"]
+    tids = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    op_tracks = {k for k, v in tids.items() if v == "XLA Ops"}
+    per_class: collections.Counter = collections.Counter()
+    unknown: collections.Counter = collections.Counter()
+    top_ops: collections.Counter = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tracks:
+            continue
+        name = e["name"].lstrip("%")
+        dur = e.get("dur", 0)
+        cls = cls_of.get(name)
+        if cls is None:
+            unknown[name] += dur
+            cls = "unknown"
+        per_class[cls] += dur
+        top_ops[(cls, name)] += dur
+    ms = {c: d / n_steps / 1e3 for c, d in per_class.items()}
+    top = [{"class": c, "op": n, "ms": round(d / n_steps / 1e3, 3)}
+           for (c, n), d in top_ops.most_common(12)]
+    return ms, top, unknown
 
 
 def measure_dot(mm, kk, nn, chain=50) -> float:
-    """Measured TFLOP/s of an (M,K)@(K,N) bf16 dot on this chip.
-
-    Chained fori_loop with a null-op floor subtracted (the convbench3
-    methodology): per-dispatch timing through the tunnel has a ~ms floor
-    that swamps small shapes — an isolated probe 'measured' the step's
-    dominant (16384,64,256) dot at 0.12 TFLOP/s, 100x under its
-    in-program rate."""
+    """Measured TFLOP/s of a BIG (M,K)@(K,N) bf16 dot — used only for the
+    8192^3 matmul roofline (big enough to swamp dispatch latency; the
+    per-shape probes this file used to run on the step's own small shapes
+    were latency-bound and are gone — per-class rates now come from the
+    in-program trace)."""
     import jax
     import jax.numpy as jnp
 
     a = jnp.ones((mm, kk), jnp.bfloat16)
     b = jnp.ones((kk, nn), jnp.bfloat16)
 
-    def timed(f):
-        @jax.jit
-        def many(x, y):
-            def body(_, acc):
-                return acc + f(x + (acc * 1e-30).astype(x.dtype), y)
-            return jax.lax.fori_loop(0, chain, body, jnp.float32(0))
+    @jax.jit
+    def many(x, y):
+        def body(_, acc):
+            out = jax.lax.optimization_barrier(
+                jnp.matmul(x + (acc * 1e-30).astype(x.dtype), y))
+            return acc + out[0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, chain, body, jnp.float32(0))
 
-        float(many(a, b))  # compile + warm
-        t0 = time.perf_counter()
-        float(many(a, b))  # scalar fetch = the only honest sync
-        return time.perf_counter() - t0
-
-    def dot_probe(x, y):
-        # optimization_barrier keeps the FULL dot live so the one-element
-        # carry neither DCEs it nor lets the simplifier shrink it to a
-        # 1-row dot; a jnp.sum carry instead costs a full (M, N) pass
-        # that dominates K-starved shapes.
-        out = jax.lax.optimization_barrier(jnp.matmul(x, y))
-        return out[0, 0].astype(jnp.float32)
-
-    floor = timed(lambda x, y: x[0, 0].astype(jnp.float32))
-    dt = max(timed(dot_probe) - floor, 1e-9)
-    return 2.0 * mm * kk * nn * chain / dt / 1e12
-
-
-def measure_gather_rate(rows=4 * 1024 * 1024, width=128, iters=5) -> float:
-    """Measured rows/s on the warp's wide-row access pattern.
-
-    Uses the SAME lax.gather form as `ops/sampling._take_rows` (full
-    `width`-lane rows, PROMISE_IN_BOUNDS): a take_along_axis probe
-    gathered 1-element rows and under-reported the warp's rate 6x."""
-    import jax
-    import jax.numpy as jnp
-
-    from jperceiver_tpu.ops.sampling import _take_rows
-
-    src = jnp.ones((1026 * 1026 // 8, width), jnp.bfloat16)
-    idx = jnp.arange(rows, dtype=jnp.int32) % (1026 * 1026 // 8)
-    f = jax.jit(lambda s, i: _take_rows(s, i))
-    f(src, idx)
-    float(jnp.sum(f(src, idx)[:, 0].astype(jnp.float32)))
+    float(many(a, b))  # compile + warm
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = f(src, idx)
-    float(jnp.sum(out[:, 0].astype(jnp.float32)))
-    return rows / ((time.perf_counter() - t0) / iters)
+    float(many(a, b))  # scalar fetch = the only honest sync on the tunnel
+    dt = time.perf_counter() - t0
+    return 2.0 * mm * kk * nn * chain / dt / 1e12
 
 
 def main(argv) -> None:
@@ -215,12 +351,16 @@ def main(argv) -> None:
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache"))
 
-    from benchmarks.queue_r3 import KNOBS  # noqa: F401 (same config source)
+    from benchmarks.queue_r3 import KNOBS
     from jperceiver_tpu.config import Config
     from jperceiver_tpu.data import synthetic_batch
     from jperceiver_tpu.engine import (build_optimizer, create_train_state,
                                        make_train_step)
     from jperceiver_tpu.models import JPerceiver
+
+    n_steps = 10
+    if "--steps" in argv:
+        n_steps = int(argv[argv.index("--steps") + 1])
 
     h = w = 1024
     occ = 256
@@ -239,10 +379,19 @@ def main(argv) -> None:
             lr_config=dict(policy="step", warmup=None, step=[50]),
         )
     )
-    for knob in argv:
+    knobs = []
+    skip_next = False
+    for i, knob in enumerate(argv):
+        if skip_next:
+            skip_next = False
+            continue
+        if knob == "--steps":
+            skip_next = True
+            continue
         if knob.startswith("--"):
             continue
         KNOBS[knob](cfg)
+        knobs.append(knob)
 
     # Same branch selection as bench.py's primary config (single-branch
     # since the round-4 skip_inactive_branch default flip).
@@ -255,76 +404,98 @@ def main(argv) -> None:
     state = create_train_state(model, tx, batch, jax.random.key(0))
     step = make_train_step(model, cfg, donate=False)
 
-    lowered = step.lower(state, batch, jax.random.key(1))
-    compiled = lowered.compile()
+    compiled = step.lower(state, batch, jax.random.key(1)).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
     total_flops = float(cost.get("flops", 0.0))
-    hlo = compiled.as_text()
-    inv = parse_hlo(hlo)
+    inv = parse_hlo(compiled.as_text())
+    cls_of = classify(inv)
+    work = class_work(inv, cls_of)
 
     dot_flops = sum(inv["dots"].values())
-    other_flops = max(0.0, total_flops - dot_flops - inv["conv_flops"])
 
-    # Top dot shapes by FLOPs — these get their own measured throughput.
-    top = sorted(inv["dots"].items(), key=lambda kv: -kv[1])[:10]
-    covered = sum(f for _, f in top)
+    # ---- measured step time + in-program trace --------------------------
+    rng = jax.random.key(1)
+    state2, metrics = step(state, batch, rng)  # warm (compile cached)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    st = state
+    for _ in range(n_steps):
+        st, metrics = step(st, batch, rng)
+    float(metrics["loss"])
+    wall_ms = (time.perf_counter() - t0) / n_steps * 1e3
 
-    skip_measure = "--skip-measure" in argv
-    r_mm_peak = 103.0e12  # benchmarks/roofline.py 8192^2 bf16, re-measured below
-    shape_rows = []
-    t_dots_measured = 0.0
-    if not skip_measure:
+    trace_dir = tempfile.mkdtemp(prefix="ceiling_trace_")
+    jax.profiler.start_trace(trace_dir)
+    st = state
+    for _ in range(n_steps):
+        st, metrics = step(st, batch, rng)
+    float(metrics["loss"])
+    jax.profiler.stop_trace()
+
+    ms, top_ops, unknown = trace_class_ms(trace_dir, n_steps, cls_of)
+    device_ms = sum(ms.values())
+    measured_fps = bsz / (wall_ms / 1e3)
+
+    # ---- ceilings --------------------------------------------------------
+    # No-bubble bound: every traced device op back to back. On one core
+    # ops serialize, so device_ms <= wall_ms and this >= measured fps.
+    ceiling_fps = bsz / (device_ms / 1e3)
+    assert ceiling_fps >= measured_fps * 0.98, (
+        f"ceiling ({ceiling_fps:.2f}) < measured ({measured_fps:.2f}): "
+        "trace attribution is broken — a ceiling below the achieved "
+        "number is self-refuting (the round-4 failure mode)")
+
+    # In-program per-class rates at the CURRENT lowering.
+    g_rows = work.get("gather", {}).get("rows", 0)
+    r_gather = g_rows / (ms.get("gather", 0.0) / 1e3) if ms.get("gather") else 0.0
+    c_flops = work.get("conv", {}).get("flops", 0.0)
+    r_conv = c_flops / (ms.get("conv", 0.0) / 1e3) if ms.get("conv") else 0.0
+    m_flops = work.get("mxu", {}).get("flops", 0.0)
+    r_mxu = m_flops / (ms.get("mxu", 0.0) / 1e3) if ms.get("mxu") else 0.0
+
+    r_mm_peak = 103.0e12
+    if "--skip-roofline" not in argv:
         r_mm_peak = measure_dot(8192, 8192, 8192) * 1e12
-        r_gather = measure_gather_rate()
-        for (mm, kk, nn), fl in top:
-            # Cap the probe's M so a single probe fits VMEM/HBM sanely.
-            mm_p = min(mm, 4 * 1024 * 1024)
-            tput = measure_dot(mm_p, kk, nn) * 1e12
-            shape_rows.append({"m": mm, "k": kk, "n": nn,
-                               "gflops": round(fl / 1e9, 1),
-                               "tflops_per_s": round(tput / 1e12, 2)})
-            t_dots_measured += fl / tput
-        # Tail dots (not in top-10) assumed at the weighted mean of the top.
-        if covered > 0:
-            mean_tput = covered / t_dots_measured
-            t_dots_measured += (dot_flops - covered) / mean_tput
-    else:
-        r_gather = 540e6  # DESIGN.md round-3 measured wide-row ceiling
-        t_dots_measured = dot_flops / (0.35 * r_mm_peak)  # placeholder
 
-    r_conv = 20e12  # measured conv band midpoint (roofline.py: 14-32)
-    t_conv = inv["conv_flops"] / r_conv
-    t_gather = inv["gather_rows"] / r_gather
-    t_ideal = total_flops / r_mm_peak + t_gather
-    t_classes = t_dots_measured + t_conv + t_gather
+    # Ideal at the CURRENT work inventory: all FLOPs at the measured
+    # matmul peak; gather rows at their measured in-program rate (there is
+    # no faster measured gather path — the 540 Mrows/s round-3 DESIGN
+    # number was a 16-wide-group microbench at grp=16, a configuration the
+    # step does NOT use; in-program at grp=8 is the honest rate).
+    t_ideal_s = total_flops / r_mm_peak + (g_rows / r_gather if r_gather else 0.0)
+    ceiling_fps_ideal = bsz / t_ideal_s if t_ideal_s else 0.0
 
     out = {
-        "config_knobs": [a for a in argv if not a.startswith("--")],
+        "config_knobs": knobs,
+        "method": "in-program trace attribution (round 5); per-shape dot "
+                  "probes removed — see DESIGN.md round-5 postmortem",
+        "n_steps": n_steps,
+        "measured_ms_per_step": round(wall_ms, 2),
+        "measured_fps": round(measured_fps, 3),
+        "device_ms_per_step": round(device_ms, 2),
+        "bubble_ms_per_step": round(wall_ms - device_ms, 2),
         "total_tflops_per_step": round(total_flops / 1e12, 3),
         "dot_tflops": round(dot_flops / 1e12, 3),
         "conv_tflops": round(inv["conv_flops"] / 1e12, 3),
-        "other_tflops": round(other_flops / 1e12, 3),
         "gather_mrows": round(inv["gather_rows"] / 1e6, 1),
         "gather_gb": round(inv["gather_bytes"] / 1e9, 2),
+        "class_ms": {c: round(v, 2) for c, v in sorted(
+            ms.items(), key=lambda kv: -kv[1])},
+        "class_rates": {
+            "gather_mrows_s": round(r_gather / 1e6, 1),
+            "conv_tflops_s": round(r_conv / 1e12, 2),
+            "mxu_tflops_s": round(r_mxu / 1e12, 2),
+        },
+        "top_ops": top_ops,
+        "unknown_ms": round(sum(unknown.values()) / n_steps / 1e3, 2),
         "r_matmul_peak_tflops": round(r_mm_peak / 1e12, 1),
-        "r_gather_mrows_s": round(r_gather / 1e6, 1),
-        "top_dot_shapes": shape_rows,
-        "top_conv_shapes": [
-            {"kspatial": list(ks), "cin": ci, "o": o,
-             "gflops": round(fl / 1e9, 1)}
-            for (ks, ci, o), fl in sorted(
-                inv["convs"].items(), key=lambda kv: -kv[1])[:8]],
-        "t_dots_ms": round(t_dots_measured * 1e3, 2),
-        "t_conv_ms": round(t_conv * 1e3, 2),
-        "t_gather_ms": round(t_gather * 1e3, 2),
-        # Everything at the big-matmul roofline + gathers at their ceiling:
-        # the number the chip cannot exceed no matter the scheduler.
-        "ceiling_fps_ideal": round(bsz / t_ideal, 2),
-        # Dots at their MEASURED per-shape throughput: the realistic
-        # perfect-scheduling ceiling for THIS lowering.
-        "ceiling_fps_measured_classes": round(bsz / t_classes, 2),
+        # No-bubble perfect-scheduling bound for THIS lowering:
+        "ceiling_fps": round(ceiling_fps, 2),
+        # All FLOPs at matmul peak + gathers at the in-program rate — the
+        # bound at the current WORK INVENTORY regardless of schedule:
+        "ceiling_fps_ideal": round(ceiling_fps_ideal, 2),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "ceiling.json")
