@@ -74,8 +74,13 @@ def main(argv=None) -> None:
                  optimizer=dict(type="Adam", lr=1e-4, weight_decay=0),
                  optimizer_config=dict(grad_clip=dict(max_norm=35, norm_type=2)),
                  lr_config=dict(policy="step", warmup=None, step=[50])))
+        # Branch selection must match bench.py's primary config (the
+        # round-4 skip_inactive_branch default flip): without it this
+        # traced the BOTH-branch graph — a different (and cold-compiling)
+        # executable than the one the bench measures.
         model = JPerceiver(height=h, width=w, occ_map_size=occ,
-                           dtype=jnp.bfloat16)
+                           dtype=jnp.bfloat16,
+                           branches=JPerceiver._branches_from_cfg(model_cfg))
     if args.pallas_conv:
         model_cfg.use_pallas_conv = True
     if args.dots:
