@@ -50,6 +50,10 @@ KNOBS = {
     # branch by default, so "skipb" is a no-op and "bothb" is the A/B.
     "bothb": lambda cfg: setattr(cfg, "skip_inactive_branch", False),
     "mu16": lambda cfg: cfg.optimizer.update(mu_dtype="bfloat16"),
+    # Round-5: hardware-RNG automask noise (default "auto" = rbg on TPU);
+    # noise3f forces the old threefry draw for A/B.
+    "noise3f": lambda cfg: setattr(cfg, "automask_noise", "threefry"),
+    "noiserbg": lambda cfg: setattr(cfg, "automask_noise", "rbg"),
     "grp16": lambda cfg: None,  # handled via sampling._GROUP_WIDTH below
     "grp4": lambda cfg: None,
     # bN -> batch size, handled in measure()

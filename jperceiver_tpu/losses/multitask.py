@@ -300,6 +300,20 @@ def compute_losses(
         # iid noise per (scale, frame, pixel), like the reference's
         # per-iteration torch.randn (`net.py:163`); one fused draw.
         rng, sub = jax.random.split(rng)
+        # cfg knob `automask_noise` in {"auto", "threefry", "rbg"}: the
+        # 1e-5 tie-break noise is the step's only big random draw (S*F*B*
+        # H*W values) and threefry generates bits in ~20 rounds of VPU
+        # arithmetic per counter; "rbg" routes the SAME (split, folded)
+        # key through the TPU's hardware RngBitGenerator instead. The
+        # reference's torch.randn is a third generator anyway — only the
+        # distribution is parity-relevant. Default "auto" = rbg on TPU,
+        # threefry elsewhere (keeps CPU goldens/seeds byte-stable).
+        noise_impl = cfg.get("automask_noise", "auto")
+        if noise_impl == "auto":
+            noise_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
+        if noise_impl == "rbg":
+            sub = jax.random.wrap_key_data(
+                jnp.tile(jax.random.key_data(sub), 2), impl="rbg")
         noise = jax.random.normal(
             sub, (n_scales, n_f, b, height, width), ident_l.dtype) * 1e-5
 
