@@ -50,6 +50,38 @@ def _comp_bodies(text: str) -> dict[str, list[str]]:
 
 
 _OPNAME = re.compile(r"= *([a-z0-9]+)\[([0-9,]*)\][^ ]* ([a-z0-9\-]+)\(")
+# top-level instr name + opcode (tuple-shaped outputs included)
+_LINE = re.compile(r"^\s*(?:ROOT )?%?([\w.\-]+) = .*?\s([a-z][a-z0-9\-]*)\(")
+_META = re.compile(r'metadata=\{([^}]*)\}')
+_MKV = re.compile(r'(\w+)="?([^" ]*)"?')
+
+
+def parse_meta(text: str) -> tuple[dict, dict]:
+    """name -> (opcode, short source attribution) for top-level instrs.
+
+    XLA keeps `metadata={op_name="jit(train_step)/..." source_file=...
+    source_line=N}` on most instructions; the op_name's jax scope path is
+    the only thing that can attribute a fused copy/reshape back to model
+    code, so surface it (trimmed) next to every audited op.
+    """
+    opcode_of: dict[str, str] = {}
+    meta_of: dict[str, str] = {}
+    for raw in text.splitlines():
+        lm = _LINE.match(raw)
+        if not lm:
+            continue
+        name, opcode = lm.groups()
+        opcode_of[name] = opcode
+        mm = _META.search(raw)
+        if mm:
+            kv = dict(_MKV.findall(mm.group(1)))
+            op_name = kv.get("op_name", "")
+            src = kv.get("source_file", "").rsplit("/", 1)[-1]
+            line = kv.get("source_line", "")
+            # keep the tail of the jax scope path — the informative part
+            tail = "/".join(op_name.split("/")[-2:]) if op_name else ""
+            meta_of[name] = f"{tail} @{src}:{line}".strip()
+    return opcode_of, meta_of
 
 
 def summarize_body(lines: list[str], max_items: int = 6) -> dict:
@@ -186,21 +218,57 @@ def main(argv) -> None:
             if m2:
                 shape_of[d.group(1)] = f"{m2.group(1)}[{m2.group(2)}]"
 
+    opcode_of, meta_of = parse_meta(text)
+
+    def _sig(name: str) -> str:
+        """Bucket key: opcode, or a body signature for fusions."""
+        opcode = opcode_of.get(name, name.rstrip("0123456789.").rstrip("."))
+        if opcode != "fusion":
+            return opcode
+        callee = inv["fusion_calls"].get(name)
+        if callee and callee in bodies:
+            kinds = summarize_body(bodies[callee])["ops"]
+            top3 = "+".join(sorted(kinds, key=kinds.get, reverse=True)[:3])
+            return f"fusion[{top3}]"
+        return "fusion[?]"
+
     rows = []
     other_total = 0.0
+    buckets: collections.Counter = collections.Counter()
+    bucket_n: collections.Counter = collections.Counter()
+    by_src: collections.Counter = collections.Counter()
     for name, dur in per_op.most_common():
         cls = cls_of.get(name, "unknown")
         if cls != "other":
             continue
         op_ms = dur / n_steps / 1e3
         other_total += op_ms
+        buckets[_sig(name)] += op_ms
+        bucket_n[_sig(name)] += 1
+        by_src[meta_of.get(name, "?")] += op_ms
         if len(rows) >= top_k:
             continue
         rec = {"op": name, "ms": round(op_ms, 3),
-               "out": shape_of.get(name, "?")}
+               "out": shape_of.get(name, "?"),
+               "src": meta_of.get(name, "?")}
         callee = inv["fusion_calls"].get(name)
         if callee and callee in bodies:
             rec["body"] = summarize_body(bodies[callee])
+        if len(rows) < 12:
+            # def line (layouts incl.) + consumers — enough to explain a
+            # copy: what produced the operand, who needed the new layout.
+            pat = re.compile(rf"%{re.escape(name)}\b")
+            defl, cons = None, []
+            for line in text.splitlines():
+                if not pat.search(line):
+                    continue
+                stripped = line.strip()
+                if re.match(rf"^(ROOT )?%{re.escape(name)} = ", stripped):
+                    defl = stripped[:360]
+                elif len(cons) < 3 and "metadata" in line:
+                    cons.append(stripped[:200])
+            rec["def"] = defl
+            rec["consumers"] = cons
         rows.append(rec)
 
     out = {
@@ -209,6 +277,12 @@ def main(argv) -> None:
         "class_ms": {c: round(v, 2) for c, v in sorted(
             ms.items(), key=lambda kv: -kv[1])},
         "other_total_ms": round(other_total, 2),
+        # FULL-tail accounting (the top-K list covers ~1/3 of the class):
+        # every other-class op bucketed by opcode / fusion-body signature,
+        # and by jax source attribution — so no ms is invisible.
+        "buckets_ms": {k: [round(v, 2), bucket_n[k]]
+                       for k, v in buckets.most_common(24)},
+        "by_src_ms": {k: round(v, 2) for k, v in by_src.most_common(32)},
         "top_other": rows,
     }
     print(json.dumps(out, indent=1), flush=True)

@@ -84,6 +84,24 @@ def _warped_frames_all(outputs, batch, scales, frame_ids, height, width,
     return preds
 
 
+def reproj_operand_bf16(cfg, use_preproj: bool, batch_size: int) -> bool:
+    """Resolve `pallas_reproj_bf16` ("auto" = kernel on AND batch == 1).
+
+    B>1 is excluded from auto because the Mosaic compiler miscompiles the
+    bf16-operand reprojection kernel inside the full train step whenever
+    the batch grid dim > 1: B=2 SIGABRTs `tpu_compile_helper`, B=3
+    compiles to a non-finite loss (round-5 bisect, `benchmarks/results/
+    queue_r5{,b}.jsonl`). Standalone and CPU-interpret parity are clean at
+    every B — the kernel math is right; this is a compiler fault. f32
+    operands are correct at every B and still beat the no-kernel path
+    (10.32 vs 9.88 f/s at B=2 flagship).
+    """
+    v = cfg.get("pallas_reproj_bf16", "auto")
+    if v == "auto":
+        return bool(use_preproj) and batch_size == 1
+    return bool(v)
+
+
 def compute_losses(
     outputs: Mapping[Any, jax.Array],
     batch: Mapping[str, jax.Array],
@@ -265,12 +283,13 @@ def compute_losses(
 
         targ_pl = jnp.transpose(target, (0, 3, 1, 2))  # (B, C, H, W)
         # bf16 kernel operands (`pallas_reproj_bf16`, default "auto" = on
-        # wherever the kernel itself is on): halves the kernel's HBM
-        # traffic; window statistics still accumulate fp32 in VMEM. Same
-        # 8-bit-image argument as warp_tap_dtype=bfloat16 (the pre-u8
-        # default for the very same tensors). Set False for fp32 operands.
-        reproj_bf16 = cfg.get("pallas_reproj_bf16", "auto")
-        if bool(use_preproj if reproj_bf16 == "auto" else reproj_bf16):
+        # wherever the kernel itself is on AND the batch is 1 — see
+        # `reproj_operand_bf16` for the B>1 Mosaic-miscompile exclusion):
+        # halves the kernel's HBM traffic; window statistics still
+        # accumulate fp32 in VMEM. Same 8-bit-image argument as
+        # warp_tap_dtype=bfloat16 (the pre-u8 default for the very same
+        # tensors). Set False for fp32 operands.
+        if reproj_operand_bf16(cfg, use_preproj, int(target.shape[0])):
             targ_pl = targ_pl.astype(jnp.bfloat16)
             ident = ident.astype(jnp.bfloat16)
         # Identity pairs through the same kernel: frames on the SCALE

@@ -264,3 +264,20 @@ def test_automask_noise_rbg_knob():
         assert v1 == v2, f"{key}: rbg draw not deterministic"
         # noise is 1e-5-scale: the two generators agree to that order
         np.testing.assert_allclose(v1, float(lt[key]), atol=5e-5, rtol=1e-4)
+
+
+def test_reproj_operand_bf16_auto_excludes_multibatch():
+    """auto = bf16 kernel operands ONLY at batch 1 (Mosaic miscompiles the
+    bf16 kernel at B>1 inside the full step — see reproj_operand_bf16)."""
+    from jperceiver_tpu.config import Config
+    from jperceiver_tpu.losses.multitask import reproj_operand_bf16
+
+    auto = Config.fromdict(dict())
+    assert reproj_operand_bf16(auto, True, 1) is True
+    assert reproj_operand_bf16(auto, True, 2) is False
+    assert reproj_operand_bf16(auto, True, 3) is False
+    assert reproj_operand_bf16(auto, False, 1) is False
+    forced_on = Config.fromdict(dict(pallas_reproj_bf16=True))
+    assert reproj_operand_bf16(forced_on, True, 3) is True
+    forced_off = Config.fromdict(dict(pallas_reproj_bf16=False))
+    assert reproj_operand_bf16(forced_off, True, 1) is False
