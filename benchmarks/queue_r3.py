@@ -56,6 +56,10 @@ KNOBS = {
     "noiserbg": lambda cfg: setattr(cfg, "automask_noise", "rbg"),
     "grp16": lambda cfg: None,  # handled via sampling._GROUP_WIDTH below
     "grp4": lambda cfg: None,
+    # Round-5 "other"-class attack knobs:
+    "stem_share": lambda cfg: setattr(cfg, "share_stem", True),
+    "selbar": lambda cfg: None,  # sampling._SELECT_BARRIER, see measure()
+    "outbar": lambda cfg: None,
     # bN -> batch size, handled in measure()
 }
 
@@ -97,11 +101,14 @@ def measure(variant: str, n_iters: int = 15, reps: int = 3) -> dict:
         )
     )
     grp_prev = _sampling._GROUP_WIDTH
+    bar_prev = _sampling._SELECT_BARRIER
     try:
         bsz = 1
         for knob in variant.split(","):
             if knob.startswith("grp"):
                 _sampling._GROUP_WIDTH = int(knob[3:])
+            elif knob in ("selbar", "outbar"):
+                _sampling._SELECT_BARRIER = knob[:3]
             elif knob.startswith("b") and knob[1:].isdigit():
                 bsz = int(knob[1:])
             else:
@@ -144,6 +151,7 @@ def measure(variant: str, n_iters: int = 15, reps: int = 3) -> dict:
         }
     finally:
         _sampling._GROUP_WIDTH = grp_prev
+        _sampling._SELECT_BARRIER = bar_prev
 
 
 LOCK_PATH = "/tmp/jperceiver_tpu_bench.lock"

@@ -49,17 +49,21 @@ def make_train_step(model, cfg, donate: bool = True,
     # Default None = AUTO (on for TPU; round-4 measured 10.65 f/s combined
     # with uint8 taps vs 9.38 base at the flagship config).
     fold_up = cfg.get("fold_upconv", None) if hasattr(cfg, "get") else None
+    # Share one stem tap-stack between the depth/layout encoders
+    # (`cfg.share_stem`, models/common.py::share_stem_scope).
+    share_stem = cfg.get("share_stem", None) if hasattr(cfg, "get") else None
 
     def step(state, batch, rng):
         from ..models.common import (conv_dots_scope, fold_upconv_scope,
-                                     pallas_conv_scope, per_replica_bn)
+                                     pallas_conv_scope, per_replica_bn,
+                                     share_stem_scope)
 
         dropout_rng, loss_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
             with per_replica_bn(bn_groups), pallas_conv_scope(use_pconv), \
                     conv_dots_scope(use_dots, dots_max_ch, tapcat_max_ch), \
-                    fold_upconv_scope(fold_up):
+                    fold_upconv_scope(fold_up), share_stem_scope(share_stem):
                 outputs, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     batch,
@@ -100,14 +104,16 @@ def make_eval_step(model, cfg=None) -> Callable:
         cfg is not None and hasattr(cfg, "get")) else None
     fold_up = cfg.get("fold_upconv", None) if (
         cfg is not None and hasattr(cfg, "get")) else None
+    share_stem = cfg.get("share_stem", None) if (
+        cfg is not None and hasattr(cfg, "get")) else None
 
     def step(state, batch):
         from ..models.common import (conv_dots_scope, fold_upconv_scope,
-                                     pallas_conv_scope)
+                                     pallas_conv_scope, share_stem_scope)
 
         with pallas_conv_scope(use_pconv), \
                 conv_dots_scope(use_dots, dots_max_ch, tapcat_max_ch), \
-                fold_upconv_scope(fold_up):
+                fold_upconv_scope(fold_up), share_stem_scope(share_stem):
             return model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch,

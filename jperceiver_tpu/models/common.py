@@ -171,6 +171,37 @@ def fold_upconv_active() -> bool:
     return _FOLD_UPCONV
 
 
+# Share ONE stem tap-stack between the depth and layout encoders (both
+# stem the same normalized frame — `resnet.py::stem_tap_stack`). None =
+# AUTO (off until whole-step-measured; flip like fold_upconv once queued).
+_SHARE_STEM: bool | None = None
+
+
+class share_stem_scope:
+    """Trace-time switch (`cfg.share_stem`): build the space-to-depth
+    stem operand once in `JPerceiver.__call__` and hand it to both the
+    depth and layout encoders. `enabled=None` restores AUTO."""
+
+    def __init__(self, enabled: bool | None = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _SHARE_STEM
+        self._prev, _SHARE_STEM = _SHARE_STEM, self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _SHARE_STEM
+        _SHARE_STEM = self._prev
+        return False
+
+
+def share_stem_active() -> bool:
+    if _SHARE_STEM is None:
+        return False
+    return _SHARE_STEM
+
+
 def _dots_active(c_in: int) -> bool:
     import jax
 

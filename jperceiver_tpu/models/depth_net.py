@@ -27,9 +27,10 @@ class DepthEncoder(nn.Module):
         return ResNet(self.depth).num_ch_enc
 
     @nn.compact
-    def __call__(self, img, train: bool = False):
+    def __call__(self, img, train: bool = False, stem_stack=None):
         x = (img - 0.45) / 0.225
-        return ResNet(self.depth, dtype=self.dtype, name="encoder")(x, train)
+        return ResNet(self.depth, dtype=self.dtype, name="encoder")(
+            x, train, stem_stack)
 
 
 class DepthDecoder(nn.Module):

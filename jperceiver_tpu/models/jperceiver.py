@@ -32,7 +32,9 @@ import jax.numpy as jnp
 
 from ..ops.geometry import transformation_from_parameters
 from ..ops.sampling import resize_bilinear
+from .common import share_stem_active
 from .depth_net import DepthDecoder, DepthEncoder
+from .resnet import stem_tap_stack
 from .layout_net import (
     CrossViewTransformer,
     CycledViewProjection,
@@ -203,10 +205,20 @@ class JPerceiver(nn.Module):
 
     def __call__(self, batch, train: bool = False, with_pose: bool | None = None):
         color_aug0 = batch["color_aug"][:, 0]
-        depth_feats = self.depth_encoder(color_aug0, train)
+        # `share_stem` (trace-time, cfg knob): both encoders stem the SAME
+        # normalized frame, so the weight-independent space-to-depth tap
+        # stack can be built once and fed to both. Forward is bit-identical
+        # (XLA CSEs the duplicate construction anyway); the win is the
+        # backward, where the two stem cotangents now sum BEFORE one
+        # inverse space-to-depth chain instead of running it per encoder.
+        stem_stack = None
+        if share_stem_active():
+            stem_stack = stem_tap_stack(
+                (color_aug0 - 0.45) / 0.225, self.dtype)
+        depth_feats = self.depth_encoder(color_aug0, train, stem_stack)
         outputs = dict(self.depth_decoder(depth_feats, train))
 
-        enc_feat = self.layout_encoder(color_aug0, train)
+        enc_feat = self.layout_encoder(color_aug0, train, stem_stack)
         if self.branches in ("both", "road"):
             road = self._layout_branch(
                 enc_feat, depth_feats[-1], self.cvp, self.cct,

@@ -30,9 +30,10 @@ class LayoutEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, img, train: bool = False):
+    def __call__(self, img, train: bool = False, stem_stack=None):
         x = (img - 0.45) / 0.225
-        feats = ResNet(self.depth, dtype=self.dtype, name="resnet_encoder")(x, train)
+        feats = ResNet(self.depth, dtype=self.dtype, name="resnet_encoder")(
+            x, train, stem_stack)
         y = ConvReflect3x3(128, self.dtype, name="conv1")(feats[-1])
         y = nn.max_pool(y, (2, 2), (2, 2))
         y = ConvReflect3x3(128, self.dtype, name="conv2")(y)

@@ -31,6 +31,36 @@ def resnet_stage_sizes(depth: int) -> Sequence[int]:
     return _STAGES[depth]
 
 
+def stem_tap_stack(x: jax.Array, dtype) -> jax.Array:
+    """`StemConv`'s weight-independent operand: the 16-tap space-to-depth
+    stack of `x` — (B, H/2+1, W/2+1, 16*4C) in `dtype`.
+
+    Factored out so callers with SEVERAL stems on the SAME input (the depth
+    and layout encoders both stem `(color_aug0-0.45)/0.225`,
+    `depth_encoder.py:35-44` / `layout_model.py:86-113`) can build it once
+    and share it: XLA CSEs the identical forward constructions anyway, but
+    with a shared operand autodiff also SUMS the two stem cotangents before
+    the inverse space-to-depth transpose chain instead of running that
+    data-movement chain once per encoder (`share_stem` knob, measured on
+    the queue).
+    """
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Space-to-depth via reshape+transpose. (A strided-slice + concat
+    # formulation measured 8 ms SLOWER per step: lane-stride-2 slices
+    # on W-in-lanes layouts are pathological on v5e.)
+    hb, wb = (h + 2) // 2, (w + 2) // 2
+    xs = xp.reshape(b, hb, 2, wb, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hb, wb, 4 * c)
+    xsp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ho, wo = hb - 1, wb - 1
+    taps = [
+        xsp[:, jy:jy + ho, jx:jx + wo, :]
+        for jy in range(4) for jx in range(4)
+    ]
+    return jnp.concatenate(taps, axis=-1).astype(dtype)
+
+
 class BasicBlock(nn.Module):
     features: int
     strides: int = 1
@@ -105,7 +135,7 @@ class StemConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stack: jax.Array | None = None):
         b, h, w, c = x.shape
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -114,26 +144,14 @@ class StemConv(nn.Module):
         # w4[jy, jx, (ey, ex, c), o] = k8[2jy+ey, 2jx+ex, c, o]
         k4 = k8.reshape(4, 2, 4, 2, c, self.features)
         k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        # Space-to-depth via reshape+transpose. (A strided-slice + concat
-        # formulation measured 8 ms SLOWER per step: lane-stride-2 slices
-        # on W-in-lanes layouts are pathological on v5e.)
-        hb, wb = (h + 2) // 2, (w + 2) // 2
-        xs = xp.reshape(b, hb, 2, wb, 2, c)
-        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hb, wb, 4 * c)
         # The 4x4/s1 conv as ONE (B*H*W, 16*4C) @ (16*4C, O) matmul over a
         # tap-stacked operand (16 shifted views concatenated in lanes) —
         # the conv9dot idea with all taps in one contraction. XLA's conv
         # WEIGHT-grad for this shape still ran at ~3.5 TFLOP/s (1.8 ms per
         # encoder, round-3 trace); the matmul transpose is a dense
         # (16*4C, B*H*W) @ (B*H*W, O) reduction on the MXU.
-        xsp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        ho, wo = hb - 1, wb - 1
-        taps = [
-            xsp[:, jy:jy + ho, jx:jx + wo, :]
-            for jy in range(4) for jx in range(4)
-        ]
-        stack = jnp.concatenate(taps, axis=-1).astype(self.dtype)
+        if stack is None:
+            stack = stem_tap_stack(x, self.dtype)
         k16 = k4.reshape(16 * 4 * c, self.features).astype(self.dtype)
         return jnp.einsum("bhwk,ko->bhwo", stack, k16)
 
@@ -156,14 +174,14 @@ class ResNet(nn.Module):
         return base
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stem_stack=None):
         block = BasicBlock if self.depth <= 34 else Bottleneck
         stages = _STAGES[self.depth]
 
         feats = []
         # Model resolutions are even (encoder needs height % 32 == 0), which
         # the space-to-depth stem requires.
-        y = StemConv(64, dtype=self.dtype, name="conv1")(x)
+        y = StemConv(64, dtype=self.dtype, name="conv1")(x, stem_stack)
         y = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)

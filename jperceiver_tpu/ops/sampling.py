@@ -23,6 +23,12 @@ _GROUP_MIN_ROWS = 1 << 20
 # 8 (=128-lane rows) measured fastest on v5e; benches monkeypatch this to
 # probe wider rows.
 _GROUP_WIDTH = 8
+# Experimental (bench-monkeypatched): optimization_barrier placement in the
+# grouped gather path, probing whether XLA will re-lay the small select
+# output instead of the full-width gather output (the 2x1.93 ms copies in
+# the round-5 audit). "" = off, "sel" = after the within-group select,
+# "out" = on the lerp outputs.
+_SELECT_BARRIER = ""
 
 
 def _take_rows(flat: jax.Array, idx: jax.Array) -> jax.Array:
@@ -209,6 +215,8 @@ def _gs_impl(
         for k in range(grp):
             g4 = g4 + jnp.where(
                 sub == k, g[..., k * cs:k * cs + 4 * c], 0)
+        if _SELECT_BARRIER == "sel":
+            g4 = jax.lax.optimization_barrier(g4)
     else:
         flat = patch.reshape(b * sh * sw, 4 * c)
         idx = (y0i + boff) * sw + x0i  # (B, Ho, Wo)
@@ -228,6 +236,8 @@ def _gs_impl(
     out = top * (1 - wy) + bot * wy
     if tap_q != 1.0:  # uint8 taps: one dequant multiply on the lerp result
         out = out * jnp.asarray(tap_q, out.dtype)
+    if _SELECT_BARRIER == "out":
+        out = jax.lax.optimization_barrier(out)
     if not want_tangents:
         return out, None, None
     # Analytic d out/d fx, d out/d fy (floor/index paths are

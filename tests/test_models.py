@@ -263,3 +263,45 @@ def test_selective_remat_modes():
     with pytest.raises(ValueError, match="remat"):
         JPerceiver(height=128, width=128, occ_map_size=32,
                    remat="warp").init(rngs, batch, train=False)
+
+
+def test_share_stem_outputs_identical():
+    """share_stem builds the stem tap-stack once for both encoders; every
+    output must stay BIT-identical (same construction, shared operand) and
+    the param tree must not change."""
+    from jperceiver_tpu.models.common import share_stem_scope
+
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(1, 128, 128, 32).items()}
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    model = JPerceiver(height=128, width=128, occ_map_size=32)
+    variables = model.init(rngs, batch, train=True)
+
+    outs = {}
+    for shared in (False, True):
+        with share_stem_scope(shared):
+            outs[shared] = model.apply(
+                variables, batch, train=True,
+                rngs={"dropout": jax.random.key(2)}, mutable=["batch_stats"],
+            )[0]
+    assert set(outs[True]) == set(outs[False])
+    for key, v in outs[False].items():
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(outs[True][key]))
+
+    # the full gradient tree is bit-identical too (autodiff sums the two
+    # stem cotangents before ONE inverse space-to-depth — same linear map)
+    def gradfn(shared):
+        def loss(params):
+            with share_stem_scope(shared):
+                out, _ = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    batch, train=True, rngs={"dropout": jax.random.key(2)},
+                    mutable=["batch_stats"])
+            return jnp.sum(out["disp/0"] ** 2) + jnp.sum(out["topview"] ** 2)
+        return jax.grad(loss)(variables["params"])
+
+    g0, g1 = gradfn(False), gradfn(True)
+    gd = g0["depth_encoder"]["encoder"]["conv1"]["kernel"]
+    assert float(jnp.max(jnp.abs(gd))) > 0, "stem got no gradient at all"
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        g0, g1)
