@@ -57,7 +57,10 @@ KNOBS = {
     "grp16": lambda cfg: None,  # handled via sampling._GROUP_WIDTH below
     "grp4": lambda cfg: None,
     # Round-5 "other"-class attack knobs:
+    # Round-5 default flip: share_stem is TPU AUTO default (queue_r5d:
+    # 11.247 vs 11.093 same-process base); no_stemshare is the A/B.
     "stem_share": lambda cfg: setattr(cfg, "share_stem", True),
+    "no_stemshare": lambda cfg: setattr(cfg, "share_stem", False),
     "selbar": lambda cfg: None,  # sampling._SELECT_BARRIER, see measure()
     "outbar": lambda cfg: None,
     # bN -> batch size, handled in measure()

@@ -173,7 +173,11 @@ def fold_upconv_active() -> bool:
 
 # Share ONE stem tap-stack between the depth and layout encoders (both
 # stem the same normalized frame — `resnet.py::stem_tap_stack`). None =
-# AUTO (off until whole-step-measured; flip like fold_upconv once queued).
+# AUTO (on for TPU: round-5 whole-step queue, 88.91 ms / 11.247 f/s vs
+# the same-process base 90.15 / 11.093 at the flagship config; off
+# elsewhere — CPU goldens keep the per-encoder construction, though the
+# outputs are identical either way, `tests/test_models.py::
+# test_share_stem_outputs_identical`).
 _SHARE_STEM: bool | None = None
 
 
@@ -198,7 +202,9 @@ class share_stem_scope:
 
 def share_stem_active() -> bool:
     if _SHARE_STEM is None:
-        return False
+        import jax
+
+        return jax.default_backend() == "tpu"
     return _SHARE_STEM
 
 
