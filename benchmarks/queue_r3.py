@@ -57,8 +57,9 @@ KNOBS = {
     "grp16": lambda cfg: None,  # handled via sampling._GROUP_WIDTH below
     "grp4": lambda cfg: None,
     # Round-5 "other"-class attack knobs:
-    # Round-5 default flip: share_stem is TPU AUTO default (queue_r5d:
-    # 11.247 vs 11.093 same-process base); no_stemshare is the A/B.
+    # Round-5: share_stem is TPU AUTO default but measured NEUTRAL — the
+    # alternating A/B (queue_r5e) refuted queue_r5d's apparent +1.4%
+    # (DESIGN.md round-5 postmortem); no_stemshare is the A/B knob.
     "stem_share": lambda cfg: setattr(cfg, "share_stem", True),
     "no_stemshare": lambda cfg: setattr(cfg, "share_stem", False),
     "selbar": lambda cfg: None,  # sampling._SELECT_BARRIER, see measure()

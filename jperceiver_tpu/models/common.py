@@ -173,11 +173,13 @@ def fold_upconv_active() -> bool:
 
 # Share ONE stem tap-stack between the depth and layout encoders (both
 # stem the same normalized frame — `resnet.py::stem_tap_stack`). None =
-# AUTO (on for TPU: round-5 whole-step queue, 88.91 ms / 11.247 f/s vs
-# the same-process base 90.15 / 11.093 at the flagship config; off
-# elsewhere — CPU goldens keep the per-encoder construction, though the
-# outputs are identical either way, `tests/test_models.py::
-# test_share_stem_outputs_identical`).
+# AUTO (on for TPU). Whole-step NEUTRAL: an alternating A/B
+# (`queue_r5e.jsonl`) showed XLA's simplifier already merges the two
+# stem backward chains at full scale (DESIGN.md round-5 postmortem);
+# kept on for the marginally smaller traced graph, with outputs
+# identical either way (`tests/test_models.py::
+# test_share_stem_outputs_identical`). Off elsewhere so CPU goldens
+# keep the per-encoder construction.
 _SHARE_STEM: bool | None = None
 
 

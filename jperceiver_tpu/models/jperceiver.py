@@ -207,10 +207,12 @@ class JPerceiver(nn.Module):
         color_aug0 = batch["color_aug"][:, 0]
         # `share_stem` (trace-time, cfg knob): both encoders stem the SAME
         # normalized frame, so the weight-independent space-to-depth tap
-        # stack can be built once and fed to both. Forward is bit-identical
-        # (XLA CSEs the duplicate construction anyway); the win is the
-        # backward, where the two stem cotangents now sum BEFORE one
-        # inverse space-to-depth chain instead of running it per encoder.
+        # stack is built once and fed to both, summing the two stem
+        # cotangents before one inverse space-to-depth chain. Outputs are
+        # bit-identical and the whole step is wall-clock NEUTRAL — XLA's
+        # simplifier already merges both the duplicate forward (CSE) and
+        # the duplicate backward chains (DESIGN.md round-5 postmortem);
+        # kept for the smaller traced graph.
         stem_stack = None
         if share_stem_active():
             stem_stack = stem_tap_stack(

@@ -38,11 +38,10 @@ def stem_tap_stack(x: jax.Array, dtype) -> jax.Array:
     Factored out so callers with SEVERAL stems on the SAME input (the depth
     and layout encoders both stem `(color_aug0-0.45)/0.225`,
     `depth_encoder.py:35-44` / `layout_model.py:86-113`) can build it once
-    and share it: XLA CSEs the identical forward constructions anyway, but
-    with a shared operand autodiff also SUMS the two stem cotangents before
-    the inverse space-to-depth transpose chain instead of running that
-    data-movement chain once per encoder (`share_stem` knob, measured on
-    the queue).
+    and share it (`share_stem` knob). Whole-step neutral: XLA CSEs the
+    duplicate forward constructions AND merges the duplicate backward
+    chains at full scale (DESIGN.md round-5 postmortem, queue_r5e
+    alternating A/B); kept for the smaller traced graph.
     """
     b, h, w, c = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
