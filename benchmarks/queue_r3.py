@@ -189,6 +189,21 @@ def main(argv) -> None:
             sys.exit("usage: queue_r3.py [--out FILE] [variant ...]")
         out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    # --ab A B [N]: order-controlled alternating A/B — run A,B,A,B,...
+    # (N pairs, default 2) and append a summary row with per-variant means.
+    # This is the REQUIRED protocol for deltas under ~1.5%: the round-5
+    # share_stem postmortem (DESIGN.md) showed variant-to-variant spread
+    # across fresh jits in one process is ~1%, an order of magnitude above
+    # the ±0.1% same-jit repeat spread, so a single sequential A/B at that
+    # scale measures session drift, not the knob.
+    ab_summary = None
+    if argv and argv[0] == "--ab":
+        if len(argv) < 3:
+            sys.exit("usage: queue_r3.py --ab VARIANT_A VARIANT_B [N_PAIRS]")
+        a, b = argv[1], argv[2]
+        n_pairs = int(argv[3]) if len(argv) > 3 and argv[3].isdigit() else 2
+        argv = [a, b] * n_pairs
+        ab_summary = (a, b)
     queue = argv or DEFAULT_QUEUE
 
     import jax
@@ -198,6 +213,7 @@ def main(argv) -> None:
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache"),
     )
+    records = []
     for variant in queue:
         try:
             rec = measure(variant)
@@ -207,7 +223,23 @@ def main(argv) -> None:
         print(line, flush=True)
         with open(out, "a") as f:
             f.write(line + "\n")
+        records.append(rec)
         gc.collect()
+
+    if ab_summary is not None:
+        a, b = ab_summary
+        means = {}
+        for v in (a, b):
+            fps = [r["fps"] for r in records
+                   if r.get("variant") == v and "fps" in r]
+            means[v] = round(sum(fps) / len(fps), 3) if fps else None
+        rec = {"ab_summary": True, "mean_fps": means,
+               "delta_pct": (round((means[b] / means[a] - 1) * 100, 2)
+                             if means.get(a) and means.get(b) else None)}
+        line = json.dumps(rec)
+        print(line, flush=True)
+        with open(out, "a") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
