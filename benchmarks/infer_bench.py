@@ -7,9 +7,11 @@ Runs the eval forward (all outputs incl. pose, no losses) at the flagship
 
   python benchmarks/infer_bench.py [--quick]
 
-Measured (round 2, tunnelled v5e, bf16): 65 f/s at 1024x1024 B=1 — the
-full joint forward (depth pyramid + pose + dual BEV branches), 15.4
-ms/frame.
+Measured (tunnelled v5e, bf16, 1024x1024 B=1, full joint forward —
+depth pyramid + pose + dual BEV branches): 65 f/s round 2 (15.4
+ms/frame), 60.7 f/s round-5 re-measure under the train-tuned TPU
+defaults (session drift and the dots/fold lowerings land within a few
+percent of each other in eval mode).
 """
 
 from __future__ import annotations
