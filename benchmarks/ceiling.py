@@ -489,6 +489,16 @@ def main(argv) -> None:
             "mxu_tflops_s": round(r_mxu / 1e12, 2),
         },
         "top_ops": top_ops,
+        # MXU work inventory by contraction shape — the round-6 roadmap
+        # for the mxu class (60 TFLOP/s achieved vs the 172 peak is
+        # shape-limited; this table says WHICH (M, K, N) to fatten).
+        "dots_top_shapes": [
+            {"m": mkn[0], "k": mkn[1], "n": mkn[2],
+             "tflops": round(fl / 1e12, 4),
+             "pct_of_dot_flops": round(100 * fl / max(dot_flops, 1), 1)}
+            for mkn, fl in sorted(inv["dots"].items(),
+                                  key=lambda kv: -kv[1])[:12]
+        ],
         "unknown_ms": round(sum(unknown.values()) / n_steps / 1e3, 2),
         "r_matmul_peak_tflops": round(r_mm_peak / 1e12, 1),
         # No-bubble perfect-scheduling bound for THIS lowering:
