@@ -64,6 +64,10 @@ KNOBS = {
     "no_stemshare": lambda cfg: setattr(cfg, "share_stem", False),
     "selbar": lambda cfg: None,  # sampling._SELECT_BARRIER, see measure()
     "outbar": lambda cfg: None,
+    # Round-5 deep-channel Pallas conv gate (C>=128 nine-dot sites through
+    # the VMEM-tap-resident kernel; ops/pallas/conv3x3.py).
+    "pconv_deep": lambda cfg: setattr(cfg, "use_pallas_conv_deep", True),
+    "no_pconv_deep": lambda cfg: setattr(cfg, "use_pallas_conv_deep", False),
     # bN -> batch size, handled in measure()
 }
 

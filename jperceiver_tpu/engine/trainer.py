@@ -38,6 +38,9 @@ def make_train_step(model, cfg, donate: bool = True,
     bn_groups = int(cfg.get("bn_groups", 1)) if hasattr(cfg, "get") else 1
     # Pallas conv path for shallow-channel 3x3s (`cfg.use_pallas_conv`).
     use_pconv = bool(cfg.get("use_pallas_conv", False)) if hasattr(cfg, "get") else False
+    # Deep-channel (C>=128) Pallas conv gate (`cfg.use_pallas_conv_deep`,
+    # None = AUTO; see models/common.py::pallas_conv_deep_scope).
+    pconv_deep = cfg.get("use_pallas_conv_deep", None) if hasattr(cfg, "get") else None
     # Nine-shifted-matmul conv lowering (`cfg.conv3x3_dots`, ops/conv9dot.py).
     # Default None = AUTO (on for the TPU backend, measured +6% whole-step).
     use_dots = cfg.get("conv3x3_dots", None) if hasattr(cfg, "get") else None
@@ -55,6 +58,7 @@ def make_train_step(model, cfg, donate: bool = True,
 
     def step(state, batch, rng):
         from ..models.common import (conv_dots_scope, fold_upconv_scope,
+                                     pallas_conv_deep_scope,
                                      pallas_conv_scope, per_replica_bn,
                                      share_stem_scope)
 
@@ -62,6 +66,7 @@ def make_train_step(model, cfg, donate: bool = True,
 
         def loss_fn(params):
             with per_replica_bn(bn_groups), pallas_conv_scope(use_pconv), \
+                    pallas_conv_deep_scope(pconv_deep), \
                     conv_dots_scope(use_dots, dots_max_ch, tapcat_max_ch), \
                     fold_upconv_scope(fold_up), share_stem_scope(share_stem):
                 outputs, mutated = model.apply(
@@ -96,6 +101,8 @@ def make_eval_step(model, cfg=None) -> Callable:
     """Jitted inference step: outputs only (no losses), eval-mode BN."""
     use_pconv = bool(cfg.get("use_pallas_conv", False)) if (
         cfg is not None and hasattr(cfg, "get")) else False
+    pconv_deep = cfg.get("use_pallas_conv_deep", None) if (
+        cfg is not None and hasattr(cfg, "get")) else None
     use_dots = cfg.get("conv3x3_dots", None) if (
         cfg is not None and hasattr(cfg, "get")) else None
     dots_max_ch = cfg.get("conv3x3_dots_max_ch", None) if (
@@ -109,9 +116,11 @@ def make_eval_step(model, cfg=None) -> Callable:
 
     def step(state, batch):
         from ..models.common import (conv_dots_scope, fold_upconv_scope,
+                                     pallas_conv_deep_scope,
                                      pallas_conv_scope, share_stem_scope)
 
         with pallas_conv_scope(use_pconv), \
+                pallas_conv_deep_scope(pconv_deep), \
                 conv_dots_scope(use_dots, dots_max_ch, tapcat_max_ch), \
                 fold_upconv_scope(fold_up), share_stem_scope(share_stem):
             return model.apply(

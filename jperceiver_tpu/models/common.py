@@ -113,6 +113,13 @@ class BatchNorm(nn.BatchNorm):
 
 _PALLAS_CONV: bool = False
 _PALLAS_CONV_FORCE: bool = False  # tests: take the kernel path on CPU too
+# Round-5 DEEP-channel Pallas conv gate (`cfg.use_pallas_conv_deep`):
+# routes the bandwidth-bound C>=128 nine-dot sites (decoder bottleneck
+# 256s, trunk layer2/3) through the VMEM-tap-resident kernel. None = AUTO
+# (currently OFF everywhere — flips to TPU-on only on a whole-step win,
+# per the Pallas-conv landing rule in DESIGN.md).
+_PALLAS_CONV_DEEP: bool | None = None
+_PALLAS_CONV_DEEP_FORCE: bool = False  # tests: kernel path on CPU interpret
 # Nine-shifted-matmul lowering for stride-1 3x3s (ops/conv9dot.py).
 # None = AUTO: on for the TPU backend (measured +6% whole-step over XLA's
 # conv lowering at the flagship config), off elsewhere (CPU goldens run
@@ -287,6 +294,37 @@ def _pallas_conv_eligible(c_in, c_out, h, w) -> bool:
     return use_pallas_conv(c_in, c_out, h, w)
 
 
+class pallas_conv_deep_scope:
+    """Trace-time switch (`cfg.use_pallas_conv_deep`): route the deep
+    (C>=128) stride-1 3x3 sites through the Pallas tap-resident kernel
+    instead of the nine-dot XLA lowering. `enabled=None` restores AUTO."""
+
+    def __init__(self, enabled: bool | None = True, force: bool = False):
+        self.enabled, self.force = enabled, force
+
+    def __enter__(self):
+        global _PALLAS_CONV_DEEP, _PALLAS_CONV_DEEP_FORCE
+        self._prev = (_PALLAS_CONV_DEEP, _PALLAS_CONV_DEEP_FORCE)
+        _PALLAS_CONV_DEEP, _PALLAS_CONV_DEEP_FORCE = self.enabled, self.force
+        return self
+
+    def __exit__(self, *exc):
+        global _PALLAS_CONV_DEEP, _PALLAS_CONV_DEEP_FORCE
+        _PALLAS_CONV_DEEP, _PALLAS_CONV_DEEP_FORCE = self._prev
+        return False
+
+
+def _pallas_deep_eligible(c_in, c_out, h, w) -> bool:
+    enabled = False if _PALLAS_CONV_DEEP is None else _PALLAS_CONV_DEEP
+    if _PALLAS_CONV_DEEP_FORCE:
+        return h >= 4 and w >= 4 and c_in >= 8 and c_out >= 8
+    if not enabled:
+        return False
+    from ..ops.pallas.conv3x3 import use_pallas_conv_deep
+
+    return use_pallas_conv_deep(c_in, c_out, h, w)
+
+
 class Conv3x3(nn.Module):
     """3x3 stride-s conv, parameter-identical to `nn.Conv` (same
     "kernel"/"bias" names, lecun_normal init, fp32 params), that routes
@@ -330,6 +368,14 @@ class Conv3x3(nn.Module):
         k = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
         h, w = x.shape[1], x.shape[2]
+        if self.mode == "valid":
+            h, w = h - 2, w - 2  # pre-padded input; gate on OUTPUT extent
+        if self.strides == 1 and _pallas_deep_eligible(c, self.features, h, w):
+            from ..ops.pallas.conv3x3 import (pallas_conv3x3,
+                                              pallas_conv3x3_valid)
+
+            f = pallas_conv3x3 if self.mode == "same" else pallas_conv3x3_valid
+            return f(xd, k, b)
         dots = _dots_fn(c) if self.strides in (1, 2) else None
         if dots is not None:
             return dots(xd, k, b if self.use_bias else None,
@@ -492,6 +538,14 @@ class _SplitConvInner(nn.Module):
                 z = jnp.concatenate(taps, axis=-1)  # (B, H, W, 9C)
                 wd = kp.reshape(9 * c, self.features)  # (ky,kx,c)-major
                 t = jnp.einsum("bhwk,kf->bhwf", z, wd.astype(self.dtype))
+            elif _pallas_deep_eligible(c, self.features,
+                                       p.shape[1], p.shape[2]):
+                # Deep-site Pallas path (round 5): one VMEM-resident strip
+                # read serves all nine taps of this 256-ch iconv part.
+                from ..ops.pallas.conv3x3 import pallas_conv3x3_valid
+
+                zb = jnp.zeros((self.features,), self.dtype)
+                t = pallas_conv3x3_valid(pp, kp.astype(self.dtype), zb)
             elif _dots_active(c):
                 # Same nine-dot lowering as Conv3x3's TPU default — the
                 # decoder iconv wgrads ran XLA's conv lowering otherwise.

@@ -134,6 +134,70 @@ def _pallas_conv3x3_raw(x: jax.Array, w: jax.Array, b: jax.Array,
     return out.reshape(bsz, ho, wo, o)
 
 
+_WGRAD_PALLAS: bool = True  # strip-accumulating Pallas wgrad (round 5)
+
+
+def _wgrad_kernel(x_ref, g_ref, out_ref):
+    """One halo'd x strip + matching g strip -> += nine (C, O) tap dots.
+
+    out (9C, O) fp32 maps to the SAME block on every grid step, so the
+    accumulator stays VMEM-resident across the sequential grid and x/g
+    stream through once — vs the XLA 9-tap form whose every tap re-reads
+    the full activation tensor from HBM (~4x bandwidth-bound at the
+    decoder's (65536, 256, 256) sites; DESIGN.md round-5 MXU table).
+    Contractions use dot_general on the M dim directly — no transposed
+    operand materialization (explicit transposes are the op class that
+    crashed Mosaic in the reproj backward).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    x = x_ref[0]
+    g = g_ref[0]
+    th, wd, o = g.shape
+    c = x.shape[-1]
+    gf = g.reshape(th * wd, o)
+    for dy in range(3):
+        for dx in range(3):
+            tap = x[dy : dy + th, dx : dx + wd, :].reshape(th * wd, c)
+            k = (dy * 3 + dx) * c
+            out_ref[k : k + c, :] += jax.lax.dot_general(
+                tap, gf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+
+def _wgrad_pallas(x: jax.Array, g: jax.Array, pad: int) -> jax.Array:
+    """dL/dW via the strip-accumulating kernel; falls back to `_wgrad`
+    when the row tiling degenerates (tiny spatial extents)."""
+    bsz, h, wd, c = x.shape
+    ho, wo = g.shape[1], g.shape[2]
+    o = g.shape[-1]
+    th = _row_tile(ho, wo, c, o, x.dtype.itemsize)
+    if th < 4:
+        return _wgrad(x, g, pad)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    n = ho // th
+    xt = jnp.stack([x[:, t * th : t * th + th + 2] for t in range(n)], axis=1)
+    xt = xt.reshape(bsz * n, th + 2, x.shape[2], c)
+    gt = g.reshape(bsz, n, th, wo, o).reshape(bsz * n, th, wo, o)
+    out = pl.pallas_call(
+        _wgrad_kernel,
+        out_shape=jax.ShapeDtypeStruct((9 * c, o), jnp.float32),
+        grid=(bsz * n,),
+        in_specs=[
+            pl.BlockSpec((1, th + 2, x.shape[2], c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, th, wo, o), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((9 * c, o), lambda i: (0, 0)),
+        interpret=_interpret(),
+    )(xt, gt)
+    return out.reshape(3, 3, c, o)
+
+
 def _wgrad(x: jax.Array, g: jax.Array, pad: int) -> jax.Array:
     """dL/dW: 9 shifted (C, N)x(N, O) contractions (XLA, matmul-shaped)."""
     bsz, h, wd, c = x.shape
@@ -173,7 +237,8 @@ def _make(pad_fwd: int):
         dx = _pallas_conv3x3_raw(
             g.astype(x.dtype), _flip_t(w).astype(x.dtype), zero,
             pad=2 - pad_fwd)
-        dw = _wgrad(x, g, pad_fwd).astype(w.dtype)
+        wg = _wgrad_pallas if _WGRAD_PALLAS else _wgrad
+        dw = wg(x, g, pad_fwd).astype(w.dtype)
         db = jnp.sum(g, axis=(0, 1, 2)).astype(w.dtype)
         return dx, dw, db
 
@@ -212,6 +277,28 @@ def use_pallas_conv(c_in: int, c_out: int, h: int, w: int) -> bool:
     if not (48 <= c_in <= 128 and c_out <= 128):
         return False
     return h * w >= 16384  # >= 128^2-class spatial extent
+
+
+def use_pallas_conv_deep(c_in: int, c_out: int, h: int, w: int) -> bool:
+    """Eligibility for the DEEP-channel gate (round 5).
+
+    Round 5's trace attribution (DESIGN.md, `ceiling.json::dots_top_shapes`)
+    showed two thirds of the step's dot FLOPs are K=256/N=256 nine-dot tap
+    contractions (the depth decoder's bottleneck-256 iconv/merge sites at
+    256^2/128^2/64^2 and the trunk layer2/3 blocks) running ~2x below the
+    MXU roofline — bandwidth-bound on re-reading the shifted activation
+    views per tap, NOT shape-limited. This kernel reads each activation
+    strip once and issues the nine dots from VMEM, which is exactly the
+    remedy; the shallow-channel gate above targeted a different regime
+    (where XLA's own conv lowering was the competitor) and lost to fusion
+    effects — here the competitor is the nine-dot XLA form whose operand
+    movement is the measured cost.
+    """
+    if not HAVE_PALLAS_TPU or _interpret():
+        return False
+    if h < 8 or w < 8:
+        return False
+    return c_in >= 128 and c_out >= 128 and h * w >= 4096
 
 
 def conv3x3_auto(x: jax.Array, w: jax.Array, use_pallas: bool = True) -> jax.Array:

@@ -141,3 +141,27 @@ def test_model_pallas_conv_path_matches_xla():
         np.testing.assert_allclose(
             np.asarray(base[k]), np.asarray(fast[k]), rtol=2e-4, atol=2e-4,
             err_msg=k)
+
+
+def test_model_pallas_conv_deep_path_matches_xla():
+    """JPerceiver forward with the round-5 DEEP gate forced (interpret on
+    CPU; force drops the C>=128 threshold so the small test model still
+    exercises the kernel dispatch in Conv3x3 AND _SplitConvInner)."""
+    from jperceiver_tpu.data import synthetic_batch
+    from jperceiver_tpu.models import JPerceiver
+    from jperceiver_tpu.models.common import pallas_conv_deep_scope
+
+    model = JPerceiver(height=128, width=128, occ_map_size=32, branches="road")
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(1, 128, 128, 32).items()}
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+
+    base = model.apply(variables, batch, train=False)
+    with pallas_conv_deep_scope(enabled=True, force=True):
+        deep = model.apply(variables, batch, train=False)
+
+    for k in ("disp/0", "topview", "transform_topview"):
+        np.testing.assert_allclose(
+            np.asarray(base[k]), np.asarray(deep[k]), rtol=2e-4, atol=2e-4,
+            err_msg=k)
