@@ -84,7 +84,12 @@ def _row_tile(h: int, w: int, c: int, o: int, itemsize: int) -> int:
     / 16 (bf16) sublanes, so a C=16 buffer occupies 128 lanes regardless
     (ignoring this OOM'd the scoped-vmem allocator at 27.7 MB on the O=2
     topview head)."""
-    budget = 10 * 1024 * 1024  # headroom under the ~16 MB VMEM
+    # Headroom under the ~16 MB/core VMEM. 12 MB (was 10) so the deep
+    # 256-ch decoder sites tile at 8 rows instead of 4 — the t=4 choice
+    # carries a 1.5x halo duplication in the strip materialization and
+    # M=1024-row dots; the formula below already overcounts (taps and
+    # output double-counted against their actual buffer reuse).
+    budget = 12 * 1024 * 1024
     sub = 8 if itemsize == 4 else 16
     c_eff = _pad_to(c, 128)
     o_eff = _pad_to(o, 128)
